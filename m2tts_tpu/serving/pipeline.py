@@ -1,0 +1,177 @@
+"""Batched synthesis pipeline: text → fixed-shape buckets → compiled graphs.
+
+Serving-side redesign of the reference's single-utterance eager loop
+(reference scripts/synthesize.py:91-161). Every device computation is a
+jit-compiled fixed-shape graph selected from a small set of
+(batch, text_len, mel_frames) buckets, so arbitrary workloads reuse a
+handful of compilations:
+
+1. encode texts on host to the smallest text bucket,
+2. run a tiny jitted *duration probe* (encoder + duration predictor) to
+   learn each utterance's frame count,
+3. pick the mel-frame bucket, run the full synthesize graph there,
+4. trim waveforms on host to ``total_frames × upsample``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m2tts_tpu.frontend.text import TextProcessor
+from m2tts_tpu.models import M2TTS, build_model
+from m2tts_tpu.utils.config import Config
+
+DEFAULT_TEXT_BUCKETS = (32, 64, 128, 256)
+DEFAULT_FRAME_BUCKETS = (128, 256, 512, 1000)
+DEFAULT_BATCH_BUCKETS = (1, 4, 8, 16, 32)
+
+
+def _bucket_for(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+class Synthesizer:
+    """Compiled text→waveform engine over one model + params."""
+
+    def __init__(self, model: M2TTS, params,
+                 text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+                 batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+                 sample_rate: int = 22050, hop_length: int = 256,
+                 extra_lexicon=None):
+        self.model = model
+        self.params = params
+        self.text_buckets = tuple(text_buckets)
+        self.frame_buckets = tuple(frame_buckets)
+        self.batch_buckets = tuple(batch_buckets)
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.text_processor = TextProcessor(extra_lexicon=extra_lexicon)
+        self.upsample = 1
+        for r in model.upsample_rates:
+            self.upsample *= r
+
+        self._synth = {}  # max_frames -> compiled fn
+        self._probe = None  # lazily compiled duration probe
+
+    # -- jitted graphs ------------------------------------------------------
+    def _get_probe(self):
+        if self._probe is None:
+            model = self.model
+
+            def inner(mdl, ids, lengths):
+                enc, _ = mdl.text_encoder(ids, lengths, True)
+                return mdl.duration_predictor(enc, True)
+
+            @jax.jit
+            def probe(params, ids, lengths, duration_scale):
+                durations = model.apply(params, ids, lengths, method=inner)
+                frames = jnp.floor(durations * duration_scale).astype(jnp.int32)
+                return jnp.maximum(frames, 0).sum(axis=1)
+
+            self._probe = probe
+        return self._probe
+
+    def _get_synth(self, max_frames: int):
+        if max_frames not in self._synth:
+            model = self.model
+            self._synth[max_frames] = jax.jit(
+                lambda p, i, l, s: model.apply(
+                    p, i, l, duration_scale=s, max_frames=max_frames,
+                    method=model.synthesize))
+        return self._synth[max_frames]
+
+    # -- public API ---------------------------------------------------------
+    def predict_frames(self, ids: np.ndarray, lengths: np.ndarray,
+                       duration_scale: float = 1.0) -> np.ndarray:
+        probe = self._get_probe()
+        return np.asarray(probe(self.params, jnp.asarray(ids),
+                                jnp.asarray(lengths),
+                                jnp.asarray(duration_scale, jnp.float32)))
+
+    def synthesize_batch(self, texts: List[str], duration_scale: float = 1.0,
+                         max_frames: Optional[int] = None
+                         ) -> List[Dict[str, np.ndarray]]:
+        """Synthesize a list of texts; returns per-utterance dicts with
+        trimmed ``audio`` [samples], ``mel`` [frames, n_mels], ``frames``."""
+        if not texts:
+            return []
+        n = len(texts)
+        batch_n = _bucket_for(n, self.batch_buckets)
+
+        max_phonemes = max(len(self.text_processor.text_to_phonemes(t))
+                           for t in texts)
+        text_bucket = _bucket_for(max_phonemes, self.text_buckets)
+        enc = self.text_processor.batch(texts, text_bucket)
+        ids = np.zeros((batch_n, text_bucket), np.int32)
+        ids[:] = self.text_processor.phonemes_to_ids(["SIL"])[0]
+        ids[:n] = enc["phoneme_ids"]
+        lengths = np.zeros((batch_n,), np.int32)
+        lengths[:n] = enc["lengths"]
+
+        if max_frames is None:
+            totals = self.predict_frames(ids, lengths, duration_scale)
+            max_frames = _bucket_for(int(totals[:n].max()), self.frame_buckets)
+
+        fn = self._get_synth(max_frames)
+        out = fn(self.params, jnp.asarray(ids), jnp.asarray(lengths),
+                 jnp.asarray(duration_scale, jnp.float32))
+        audio = np.asarray(out["audio_output"])[..., 0]  # [B, samples]
+        mel = np.asarray(out["mel_output"])
+        totals = np.asarray(out["total_frames"])
+
+        results = []
+        for i in range(n):
+            frames = int(min(totals[i], max_frames))
+            results.append({
+                "audio": audio[i, : frames * self.upsample],
+                "mel": mel[i, :frames],
+                "frames": frames,
+            })
+        return results
+
+    def synthesize(self, text: str, duration_scale: float = 1.0
+                   ) -> Dict[str, np.ndarray]:
+        return self.synthesize_batch([text], duration_scale)[0]
+
+    @property
+    def rtf_seconds_per_audio_second(self):  # convenience for benchmarks
+        return None
+
+
+def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None
+                    ) -> Synthesizer:
+    """Build a Synthesizer from a self-describing checkpoint directory."""
+    from m2tts_tpu.utils.checkpoint import load_for_inference
+
+    params, config, _ = load_for_inference(checkpoint_dir, step)
+    model = build_model(config.model)
+    return Synthesizer(model, params,
+                       sample_rate=int(config.get("data.sample_rate", 22050)),
+                       hop_length=int(config.get("data.hop_length", 256)))
+
+
+def from_torch_checkpoint(path: str) -> Synthesizer:
+    """Build a Synthesizer directly from a reference torch checkpoint.
+
+    Converted checkpoints always use the BatchNorm-compat duration
+    predictor (running stats folded to an affine; see torch_compat).
+    """
+    from m2tts_tpu.utils.torch_compat import convert_reference_checkpoint
+
+    params, cfg = convert_reference_checkpoint(path)
+    cfg = Config(cfg if isinstance(cfg, dict) else {})
+    model_cfg = cfg.get("model", Config())
+    model_cfg.set("duration_predictor.norm", "batch")
+    model = build_model(model_cfg)
+    return Synthesizer(model, {"params": params},
+                       sample_rate=int(cfg.get("data.sample_rate", 22050)),
+                       hop_length=int(cfg.get("data.hop_length", 256)))

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Text → waveform synthesis CLI.
+
+Reproduces the reference CLI surface (reference scripts/synthesize.py:
+--text --checkpoint --output --duration-scale --sample-rate) on the
+compiled TPU pipeline, plus:
+
+  --torch-checkpoint  load a reference PyTorch checkpoint directly
+                      (converted on the fly)
+  --batch-file        synthesize one WAV per line of a text file in a
+                      single bucketed batch
+  --griffin-lim       skip the vocoder and invert the mel on the host
+                      (pre-vocoder validation path)
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="m2tts_tpu synthesis")
+    p.add_argument("--text", type=str, default=None, help="Text to synthesize")
+    p.add_argument("--batch-file", type=str, default=None,
+                   help="File with one utterance per line")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="m2tts_tpu (orbax) checkpoint directory")
+    p.add_argument("--torch-checkpoint", type=str, default=None,
+                   help="reference PyTorch .pt checkpoint to convert")
+    p.add_argument("--output", type=str, default="output.wav")
+    p.add_argument("--duration-scale", type=float, default=1.0)
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--griffin-lim", action="store_true",
+                   help="invert mel with Griffin-Lim instead of the vocoder")
+    args = p.parse_args(argv)
+
+    if args.text is None and args.batch_file is None:
+        p.error("one of --text / --batch-file is required")
+    if args.checkpoint is None and args.torch_checkpoint is None:
+        p.error("one of --checkpoint / --torch-checkpoint is required")
+
+    from m2tts_tpu.frontend.audio import AudioProcessor, save_wav
+    from m2tts_tpu.serving import pipeline
+
+    if args.checkpoint:
+        synth = pipeline.from_checkpoint(args.checkpoint)
+    else:
+        synth = pipeline.from_torch_checkpoint(args.torch_checkpoint)
+
+    texts = ([args.text] if args.text is not None
+             else [l.strip() for l in open(args.batch_file) if l.strip()])
+
+    t0 = time.perf_counter()
+    results = synth.synthesize_batch(texts, args.duration_scale)
+    elapsed = time.perf_counter() - t0
+
+    out = Path(args.output)
+    total_audio_sec = 0.0
+    for i, (text, res) in enumerate(zip(texts, results)):
+        if args.griffin_lim:
+            ap = AudioProcessor(sample_rate=args.sample_rate,
+                                n_mels=res["mel"].shape[-1])
+            audio = ap.mel_to_audio(res["mel"].T)
+        else:
+            audio = res["audio"]
+        path = out if len(texts) == 1 else out.with_name(
+            f"{out.stem}_{i:03d}{out.suffix}")
+        save_wav(audio, path, args.sample_rate)
+        dur = len(audio) / args.sample_rate
+        total_audio_sec += dur
+        print(f"[{i}] {dur:.2f}s  {path}  ({text[:50]!r})")
+
+    rtf = elapsed / max(total_audio_sec, 1e-9)
+    print(f"Generated {total_audio_sec:.2f}s audio in {elapsed:.3f}s "
+          f"(RTF {rtf:.4f}, incl. compile on first call)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Serving pipeline: bucketing, batch synthesis, CLI smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m2tts_tpu.models import M2TTS
+from m2tts_tpu.serving.pipeline import Synthesizer, _bucket_for
+
+
+@pytest.fixture(scope="module")
+def synth():
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    return Synthesizer(model, params,
+                       text_buckets=(16, 32), frame_buckets=(64, 128),
+                       batch_buckets=(1, 2, 4))
+
+
+def test_bucket_for():
+    assert _bucket_for(3, (4, 8)) == 4
+    assert _bucket_for(5, (4, 8)) == 8
+    assert _bucket_for(100, (4, 8)) == 8  # capped at largest
+
+
+def test_single_utterance(synth):
+    res = synth.synthesize("hello world")
+    assert res["frames"] > 0
+    assert res["audio"].shape == (res["frames"] * 64,)
+    assert res["mel"].shape == (res["frames"], 16)
+    assert np.isfinite(res["audio"]).all()
+
+
+def test_batch_mixed_lengths(synth):
+    texts = ["hello", "hello world this is longer", "the"]
+    results = synth.synthesize_batch(texts)
+    assert len(results) == 3
+    # batch padding must not change per-utterance results
+    solo = synth.synthesize(texts[0])
+    np.testing.assert_allclose(results[0]["audio"], solo["audio"], atol=1e-5)
+
+
+def test_duration_scale_lengthens(synth):
+    short = synth.synthesize("hello world", duration_scale=1.0)
+    long = synth.synthesize("hello world", duration_scale=1.9)
+    assert long["frames"] > short["frames"]
+
+
+def test_compilation_cache_reuse(synth):
+    synth.synthesize("hello")
+    n_before = len(synth._synth)
+    synth.synthesize("world")  # same buckets -> no new compilation
+    assert len(synth._synth) == n_before
+
+
+def test_cli_smoke(tmp_path, monkeypatch):
+    """End-to-end: save checkpoint -> CLI -> WAV file on disk."""
+    from m2tts_tpu.utils.checkpoint import CheckpointManager
+    from m2tts_tpu.utils.config import Config
+    import scripts.synthesize as cli
+
+    cfg = Config({
+        "model": {
+            "text_encoder": {"vocab_size": 64, "hidden_dim": 32,
+                             "num_layers": 1, "num_heads": 2, "dropout": 0.0},
+            "decoder": {"mel_channels": 16, "num_layers": 1},
+            "vocoder": {"hidden_channels": 32},
+        },
+        "data": {"sample_rate": 22050, "hop_length": 256},
+    })
+    from m2tts_tpu.models import build_model
+
+    model = build_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(1, {"generator": params["params"], "step": 1}, config=cfg)
+    mgr.close()
+
+    out = tmp_path / "out.wav"
+    rc = cli.main(["--text", "hello world", "--checkpoint",
+                   str(tmp_path / "ckpt"), "--output", str(out)])
+    assert rc == 0
+    assert out.exists()
+    from m2tts_tpu.frontend.audio import load_wav
+
+    audio, sr = load_wav(out)
+    assert sr == 22050
+    assert len(audio) > 0
