@@ -1,0 +1,7 @@
+from m2tts_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    replicate_tree,
+)

@@ -1,0 +1,80 @@
+"""Device mesh and sharding layout for data-parallel (and future tensor-
+parallel) training.
+
+The reference is strictly single-device (SURVEY.md §2.7: no distributed
+code of any kind). TPU-native scaling here follows the standard JAX recipe:
+build a `jax.sharding.Mesh`, annotate batch arrays with
+``P('data', ...)`` and parameters as replicated, and let XLA insert the
+gradient all-reduce over ICI when the jitted train step consumes sharded
+inputs and produces replicated outputs — no hand-written collectives.
+
+At ~1M generator params, data parallelism is the only axis that pays; the
+'model' axis is declared so tensor-parallel layouts can be added without a
+mesh migration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a ('data', 'model') mesh. ``data=-1`` uses all devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, "
+                         f"have {n}")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for batch arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place every batch array on the mesh, sharded over 'data'."""
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 else v
+            for k, v in batch.items()}
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a parameter/optimizer pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_devices(batch: Dict[str, Any], n_devices: int) -> Dict[str, Any]:
+    """Pad the leading batch axis up to a multiple of the data-axis size."""
+    sizes = {v.shape[0] for v in batch.values()
+             if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0}
+    if not sizes:
+        return batch
+    b = max(sizes)
+    rem = (-b) % n_devices
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 and v.shape[0] == b:
+            pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(np.asarray(v), pad)
+        else:
+            out[k] = v
+    return out

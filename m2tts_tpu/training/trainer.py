@@ -1,0 +1,285 @@
+"""Stage-1 trainer: jit-compiled train step, optax, bucketed data, Orbax.
+
+TPU-native rebuild of the reference M2TTSTrainer (reference
+training/train.py:110-492). Structural differences by design:
+
+- the whole forward+loss+grad+update step is ONE compiled XLA graph per
+  length bucket; there are no per-step host syncs (the reference's
+  LengthRegulator and loss loops force ``.item()`` syncs every step),
+- gradient accumulation actually accumulates (optax.MultiSteps); the
+  reference zeroes grads every step so its accumulation flag is a no-op
+  (train.py:317-339, SURVEY.md §2.4 quirk a),
+- warmup is implemented (linear→cosine); the reference declares
+  ``warmup_steps`` but never reads it (quirk b),
+- bf16 compute with fp32 params/optimizer via a cast at the loss boundary,
+- data parallelism: batches sharded over the mesh 'data' axis, params
+  replicated; XLA inserts the gradient all-reduce over ICI,
+- failure handling kept: OOM catch-and-continue, thermal guard,
+  KeyboardInterrupt → final checkpoint (reference train.py:382-427, :480).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from m2tts_tpu.data.dataset import DummyDataset, TTSDataset, data_iterator, make_batches
+from m2tts_tpu.frontend.audio import AudioProcessor
+from m2tts_tpu.models import build_model
+from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from m2tts_tpu.training.losses import stage1_losses
+from m2tts_tpu.utils.checkpoint import CheckpointManager
+from m2tts_tpu.utils.config import Config
+from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor, get_device_info
+from m2tts_tpu.utils.metrics_logger import MetricsLogger
+
+logger = logging.getLogger(__name__)
+
+
+def make_lr_schedule(cfg) -> optax.Schedule:
+    lr = float(cfg.get("learning_rate", 1e-4))
+    warmup = int(cfg.get("warmup_steps", 0))
+    max_steps = int(cfg.get("max_steps", 10000))
+    kind = cfg.get("lr_scheduler", "cosine")
+    if kind == "cosine":
+        warmup = max(warmup, 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup,
+            decay_steps=max(max_steps, warmup + 1))
+    if kind == "constant":
+        if warmup:
+            return optax.linear_schedule(0.0, lr, warmup)
+        return optax.constant_schedule(lr)
+    raise ValueError(f"Unknown lr_scheduler {kind!r}")
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(float(cfg.get("gradient_clip_norm", 5.0))),
+        optax.adamw(make_lr_schedule(cfg),
+                    b1=float(cfg.get("adam_b1", 0.9)),
+                    b2=float(cfg.get("adam_b2", 0.999)),
+                    weight_decay=float(cfg.get("weight_decay", 1e-6))),
+    )
+    accum = int(cfg.get("gradient_accumulation_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+def build_dataset(cfg, keep_audio: bool = False):
+    """TTSDataset when the data dir has content, else DummyDataset — the
+    reference's auto-fallback (train.py:201-217) kept so training runs
+    data-free."""
+    data_dir = Path(cfg.get("data_dir", "data/ljspeech"))
+    n_mels = int(cfg.get("n_mels", 64))
+    has_data = data_dir.exists() and (
+        (data_dir / "metadata.csv").exists()
+        or next(data_dir.glob("**/*.wav"), None) is not None)
+    if has_data:
+        ap = AudioProcessor(
+            sample_rate=int(cfg.get("sample_rate", 22050)),
+            n_fft=int(cfg.get("n_fft", 1024)),
+            hop_length=int(cfg.get("hop_length", 256)),
+            win_length=int(cfg.get("win_length", 1024)),
+            n_mels=n_mels, fmin=float(cfg.get("fmin", 0)),
+            fmax=cfg.get("fmax"))
+        return TTSDataset(
+            data_dir, audio_processor=ap,
+            subset_size=cfg.get("subset_size"),
+            max_text_length=int(cfg.get("max_text_length", 256)),
+            max_mel_length=int(cfg.get("max_mel_length", 1000)),
+            keep_audio=keep_audio)
+    logger.warning("No data found in %s — using DummyDataset", data_dir)
+    return DummyDataset(size=256, mel_dim=n_mels,
+                        max_text_length=min(64, int(cfg.get("max_text_length", 256))),
+                        max_mel_length=min(256, int(cfg.get("max_mel_length", 1000))),
+                        keep_audio=keep_audio,
+                        hop_length=int(cfg.get("hop_length", 256)))
+
+
+class Stage1Trainer:
+    """Acoustic-model training: masked mel L1 + duration MSE."""
+
+    def __init__(self, config: Config, dataset=None, mesh=None):
+        self.config = config
+        tcfg = config.get("training", Config())
+        self.max_steps = int(tcfg.get("max_steps", 10000))
+        self.batch_size = int(tcfg.get("batch_size", 32))
+        self.bf16 = bool(tcfg.get("bf16", True))
+        self.mel_weight = float(tcfg.get("mel_loss_weight", 1.0))
+        self.duration_weight = float(tcfg.get("duration_loss_weight", 0.1))
+        self.log_every = int(tcfg.get("log_every", 50))
+        self.save_every = int(tcfg.get("save_every", 1000))
+        self.validate_every = int(tcfg.get("validate_every", 500))
+        self.seed = int(tcfg.get("seed", 1234))
+
+        self.mesh = mesh or make_mesh(int(config.get("system.mesh.data", -1)))
+        self.n_data = self.mesh.shape["data"]
+
+        self.model = build_model(config.get("model", Config()))
+        self.dataset = dataset if dataset is not None else build_dataset(
+            config.get("data", Config()))
+        self.buckets = [tuple(b) for b in config.get(
+            "data.buckets", [[64, 256], [128, 512], [256, 1000]])]
+
+        # init params + optimizer
+        rng = jax.random.PRNGKey(self.seed)
+        dummy_ids = jnp.zeros((1, 8), jnp.int32)
+        variables = self.model.init(rng, dummy_ids, max_frames=16,
+                                    run_vocoder=True)
+        self.tx = make_optimizer(tcfg)
+        state = train_state.TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
+        self.state = replicate_tree(state, self.mesh)
+        self.base_rng = jax.random.PRNGKey(self.seed + 1)
+
+        out_dir = Path(config.get("paths.output_dir", "outputs/stage1"))
+        self.ckpt = CheckpointManager(
+            config.get("paths.checkpoint_dir", out_dir / "checkpoints"),
+            max_to_keep=int(tcfg.get("max_checkpoints", 5)))
+        self.metrics = MetricsLogger(
+            config.get("paths.log_dir", out_dir / "logs"),
+            backend=config.get("system.log_metrics", "csv"))
+        self.memory = MemoryTracker()
+        self.thermal = ThermalMonitor(
+            threshold_c=float(config.get("system.thermal_threshold", 80.0)))
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.step = 0
+
+    # -- compiled steps ------------------------------------------------------
+    def _loss_fn(self, params, batch, rng, deterministic):
+        p = params
+        if self.bf16:
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+        out = self.model.apply(
+            {"params": p}, batch["phoneme_ids"], batch["text_lengths"],
+            batch["durations"], max_frames=batch["mel"].shape[1],
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": rng})
+        losses = stage1_losses(
+            out["mel_output"].astype(jnp.float32), batch["mel"],
+            out["duration_pred"].astype(jnp.float32), batch["durations"],
+            batch["mel_lengths"], self.mel_weight, self.duration_weight)
+        return losses["total_loss"], losses
+
+    def _build_train_step(self):
+        def step_fn(state, batch, rng):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_fn(p, batch, rng, False), has_aux=True)
+            (_, losses), grads = grad_fn(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            losses["grad_norm"] = optax.global_norm(grads)
+            return new_state, losses
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_fn(state, batch):
+            _, losses = self._loss_fn(state.params, batch,
+                                      jax.random.PRNGKey(0), True)
+            return losses
+
+        return jax.jit(eval_fn)
+
+    # -- loop -----------------------------------------------------------------
+    def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        sharding = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()
+                if hasattr(v, "ndim") and v.ndim > 0}
+
+    def train(self, resume: bool = False) -> Dict[str, float]:
+        if resume and self.ckpt.latest_step() is not None:
+            host_state = jax.tree_util.tree_map(np.asarray, self.state)
+            template = {"params": host_state.params,
+                        "opt_state": host_state.opt_state,
+                        "step": 0}
+            restored, _, step = self.ckpt.restore(state_template=template)
+            self.state = replicate_tree(
+                self.state.replace(params=restored["params"],
+                                   opt_state=restored["opt_state"],
+                                   step=step), self.mesh)
+            self.step = step
+            logger.info("Resumed from step %d", step)
+
+        it = data_iterator(self.dataset, self.batch_size, self.buckets,
+                           seed=self.seed)
+        last: Dict[str, float] = {}
+        t_last = time.perf_counter()
+        try:
+            while self.step < self.max_steps:
+                if not self.thermal.check():
+                    self.thermal.wait_for_cooldown()
+                batch = self._put(next(it))
+                rng = jax.random.fold_in(self.base_rng, self.step)
+                try:
+                    self.state, losses = self._train_step(self.state, batch, rng)
+                except jax.errors.JaxRuntimeError as e:  # OOM guard
+                    if "RESOURCE_EXHAUSTED" in str(e):
+                        logger.error("OOM at step %d; clearing caches", self.step)
+                        jax.clear_caches()
+                        continue
+                    raise
+                self.step += 1
+
+                if self.step % self.log_every == 0:
+                    last = {k: float(v) for k, v in losses.items()}
+                    now = time.perf_counter()
+                    last["steps_per_sec"] = self.log_every / (now - t_last)
+                    t_last = now
+                    last.update(self.memory.update())
+                    self.metrics.log(last, self.step)
+                    logger.info("step %d: %s", self.step,
+                                {k: round(v, 4) for k, v in last.items()})
+                if self.step % self.validate_every == 0:
+                    val = self.validate()
+                    self.metrics.log({f"val_{k}": v for k, v in val.items()},
+                                     self.step)
+                if self.step % self.save_every == 0:
+                    self.save_checkpoint()
+        except KeyboardInterrupt:  # graceful final checkpoint
+            logger.info("Interrupted at step %d — saving checkpoint", self.step)
+        finally:
+            self.save_checkpoint()
+            self.metrics.close()
+        return last
+
+    def validate(self, n_batches: int = 2) -> Dict[str, float]:
+        it = make_batches(self.dataset, self.batch_size, self.buckets,
+                          seed=0, shuffle=False)
+        totals: Dict[str, float] = {}
+        count = 0
+        for batch in it:
+            losses = self._eval_step(self.state, self._put(batch))
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+            if count >= n_batches:
+                break
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def save_checkpoint(self) -> None:
+        if self.step == 0:
+            return
+        host_state = jax.tree_util.tree_map(np.asarray, self.state)
+        self.ckpt.save(self.step,
+                       {"params": host_state.params,
+                        "opt_state": host_state.opt_state,
+                        "step": self.step},
+                       config=self.config)
+
+    def close(self):
+        self.ckpt.close()
+        self.metrics.close()

@@ -1,0 +1,139 @@
+"""Device/system layer: TPU device info, memory tracking, host monitoring.
+
+TPU-native counterpart of the reference device layer (reference
+src/utils/device.py): ``setup_device`` → device discovery + mesh sizing,
+``MemoryTracker`` → per-device HBM stats from the JAX runtime,
+``ThermalMonitor`` → host-side psutil polling kept for API parity (TPU
+pods manage thermals themselves; this guards shared-host CPU frontends).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def setup_devices(platform: Optional[str] = None) -> List[jax.Device]:
+    """Return the devices to run on (TPU when present, else CPU)."""
+    devices = jax.devices(platform) if platform else jax.devices()
+    logger.info("Using %d %s device(s)", len(devices), devices[0].platform)
+    return devices
+
+
+def get_device_info() -> Dict[str, Any]:
+    """Host + accelerator inventory (reference src/utils/device.py:39-61)."""
+    info: Dict[str, Any] = {
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "devices": [str(d) for d in jax.devices()],
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+    }
+    try:
+        import psutil
+
+        vm = psutil.virtual_memory()
+        info["host_memory_total_gb"] = vm.total / 1e9
+        info["host_memory_available_gb"] = vm.available / 1e9
+        info["host_cpu_count"] = psutil.cpu_count()
+    except ImportError:
+        pass
+    return info
+
+
+def hbm_usage() -> List[Dict[str, float]]:
+    """Per-device HBM usage in GB (empty on backends without stats)."""
+    usage = []
+    for d in jax.local_devices():
+        stats = {}
+        try:
+            raw = d.memory_stats() or {}
+            stats = {
+                "bytes_in_use_gb": raw.get("bytes_in_use", 0) / 1e9,
+                "bytes_limit_gb": raw.get("bytes_limit", 0) / 1e9,
+                "peak_bytes_gb": raw.get("peak_bytes_in_use", 0) / 1e9,
+            }
+        except Exception:
+            pass
+        usage.append(stats)
+    return usage
+
+
+class MemoryTracker:
+    """Current/peak memory gauges for metric logs (reference device.py:152)."""
+
+    def __init__(self):
+        self.peak_hbm_gb = 0.0
+
+    def update(self) -> Dict[str, float]:
+        metrics: Dict[str, float] = {}
+        hbm = hbm_usage()
+        if hbm and hbm[0]:
+            current = hbm[0].get("bytes_in_use_gb", 0.0)
+            self.peak_hbm_gb = max(self.peak_hbm_gb, current)
+            metrics["hbm_gb"] = current
+            metrics["hbm_peak_gb"] = max(self.peak_hbm_gb,
+                                         hbm[0].get("peak_bytes_gb", 0.0))
+        try:
+            import psutil
+
+            metrics["host_rss_gb"] = psutil.Process().memory_info().rss / 1e9
+        except ImportError:
+            pass
+        return metrics
+
+
+class ThermalMonitor:
+    """Host thermal guard (reference device.py:64-139). TPUs self-throttle;
+    this protects colocated CPU frontends and is a no-op when psutil has no
+    temperature sensors."""
+
+    def __init__(self, threshold_c: float = 80.0, check_interval_s: float = 30.0):
+        self.threshold_c = threshold_c
+        self.check_interval_s = check_interval_s
+        self._last_check = 0.0
+        self._last_ok = True
+
+    def current_temperature(self) -> Optional[float]:
+        try:
+            import psutil
+
+            temps = psutil.sensors_temperatures()
+        except (ImportError, AttributeError):
+            return None
+        readings = [t.current for entries in temps.values() for t in entries
+                    if t.current is not None]
+        return max(readings) if readings else None
+
+    def check(self) -> bool:
+        """True when safe to proceed. Rate-limited to check_interval_s."""
+        now = time.monotonic()
+        if now - self._last_check < self.check_interval_s:
+            return self._last_ok
+        self._last_check = now
+        temp = self.current_temperature()
+        self._last_ok = temp is None or temp < self.threshold_c
+        if not self._last_ok:
+            logger.warning("Host temperature %.1f°C >= %.1f°C", temp,
+                           self.threshold_c)
+        return self._last_ok
+
+    def wait_for_cooldown(self, max_wait_s: float = 300.0,
+                          poll_s: float = 10.0) -> None:
+        start = time.monotonic()
+        while time.monotonic() - start < max_wait_s:
+            temp = self.current_temperature()
+            if temp is None or temp < self.threshold_c:
+                return
+            time.sleep(poll_s)
+
+
+def clear_caches() -> None:
+    """Drop JAX compilation caches (reference clear_cache, device.py:142)."""
+    jax.clear_caches()

@@ -1,0 +1,108 @@
+"""Data pipeline: bucketing, collation, dummy dataset, LJSpeech parsing."""
+
+import numpy as np
+import pytest
+
+from m2tts_tpu.data.dataset import (
+    DummyDataset, TTSDataset, collate, data_iterator, make_batches,
+    select_bucket, uniform_durations,
+)
+from m2tts_tpu.frontend.audio import save_wav
+
+
+def test_uniform_durations_reference_quirk():
+    # avg assigned to the FIRST text_length positions, zeros beyond
+    d = uniform_durations(n_ids=10, text_length=4, mel_length=20)
+    assert d.shape == (10,)
+    np.testing.assert_allclose(d[:4], 5.0)
+    np.testing.assert_allclose(d[4:], 0.0)
+    assert uniform_durations(5, 0, 20).sum() == 0.0
+
+
+def test_select_bucket():
+    buckets = [(64, 256), (128, 512), (256, 1000)]
+    assert select_bucket(10, 100, buckets) == (64, 256)
+    assert select_bucket(10, 300, buckets) == (128, 512)
+    assert select_bucket(200, 100, buckets) == (256, 1000)
+    assert select_bucket(500, 2000, buckets) == (256, 1000)  # cap
+
+
+def test_dummy_dataset_schema():
+    ds = DummyDataset(size=4, mel_dim=16, seed=3)
+    s = ds[0]
+    assert s["mel"].shape[1] == 16
+    assert s["phoneme_ids"].dtype == np.int32
+    assert len(s["durations"]) == len(s["phoneme_ids"])
+    assert abs(s["durations"].sum() - float(s["mel_length"])) < 1.0
+    assert s["audio"].shape[0] == int(s["mel_length"]) * 256
+    # deterministic given seed
+    ds2 = DummyDataset(size=4, mel_dim=16, seed=3)
+    np.testing.assert_array_equal(ds[1]["phoneme_ids"], ds2[1]["phoneme_ids"])
+
+
+def test_make_batches_fixed_shapes():
+    ds = DummyDataset(size=32, mel_dim=8, max_text_length=40,
+                      max_mel_length=150, seed=0)
+    buckets = [(20, 80), (40, 150)]
+    seen_shapes = set()
+    n = 0
+    for batch in make_batches(ds, 4, buckets, seed=1):
+        assert batch["phoneme_ids"].shape[0] == 4
+        assert (batch["phoneme_ids"].shape[1], batch["mel"].shape[1]) in buckets
+        assert batch["mel"].shape[2] == 8
+        seen_shapes.add(batch["mel"].shape)
+        n += 1
+    assert n >= 4
+    assert len(seen_shapes) <= len(buckets)
+
+
+def test_collate_audio_segments():
+    ds = DummyDataset(size=4, mel_dim=8, seed=0)
+    batch = collate([ds[0], ds[1]], (40, 150), audio_samples=1024)
+    assert batch["audio"].shape == (2, 1024)
+    np.testing.assert_allclose(batch["audio"][0], ds[0]["audio"][:1024])
+
+
+def test_data_iterator_infinite():
+    ds = DummyDataset(size=8, mel_dim=8, seed=0)
+    it = data_iterator(ds, 2, [(64, 256)], seed=0)
+    batches = [next(it) for _ in range(10)]  # > one epoch
+    assert len(batches) == 10
+
+
+def test_ljspeech_ingest_and_cache(tmp_path):
+    # build a tiny fake LJSpeech corpus
+    wavs = tmp_path / "wavs"
+    wavs.mkdir(parents=True)
+    sr = 22050
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(3):
+        audio = 0.3 * np.sin(2 * np.pi * 220 * np.arange(sr // 4) / sr)
+        audio += 0.01 * rng.normal(size=audio.shape)
+        save_wav(audio.astype(np.float32), wavs / f"utt{i}.wav", sr)
+        lines.append(f"utt{i}|Hello world {i}|hello world {i}")
+    (tmp_path / "metadata.csv").write_text("\n".join(lines))
+
+    ds = TTSDataset(tmp_path, keep_audio=True)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["mel"].shape[1] == 64  # [T, C] channel-last
+    assert s["mel_length"] == s["mel"].shape[0]
+    assert s["audio"].ndim == 1
+    assert s["durations"].shape == s["phoneme_ids"].shape
+    # cache hit on re-init
+    ds2 = TTSDataset(tmp_path, keep_audio=True)
+    assert len(ds2) == 3
+    np.testing.assert_allclose(ds2[0]["mel"], s["mel"])
+    assert (tmp_path / "cache").exists()
+
+
+def test_paired_files_ingest(tmp_path):
+    sr = 22050
+    audio = 0.3 * np.sin(2 * np.pi * 220 * np.arange(sr // 4) / sr)
+    save_wav(audio.astype(np.float32), tmp_path / "a.wav", sr)
+    (tmp_path / "a.txt").write_text("hello world")
+    ds = TTSDataset(tmp_path, keep_audio=False)
+    assert len(ds) == 1
+    assert "audio" not in ds[0]

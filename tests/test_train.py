@@ -1,0 +1,136 @@
+"""Stage-1 trainer: loss decreases, checkpoint/resume, accumulation, DP mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from m2tts_tpu.data.dataset import DummyDataset
+from m2tts_tpu.training.trainer import Stage1Trainer, make_lr_schedule, make_optimizer
+from m2tts_tpu.utils.config import Config
+
+
+def tiny_config(tmp_path, **training_overrides):
+    training = {
+        "batch_size": 8, "max_steps": 6, "learning_rate": 1e-3,
+        "warmup_steps": 2, "gradient_clip_norm": 1.0, "bf16": False,
+        "log_every": 2, "save_every": 100, "validate_every": 100,
+        "max_checkpoints": 2, "seed": 0,
+    }
+    training.update(training_overrides)
+    return Config({
+        "model": {
+            "text_encoder": {"vocab_size": 64, "hidden_dim": 32,
+                             "num_layers": 1, "num_heads": 2, "dropout": 0.1},
+            "decoder": {"mel_channels": 8, "num_layers": 1},
+            "vocoder": {"hidden_channels": 32},
+        },
+        "training": training,
+        "data": {"buckets": [[48, 128]], "n_mels": 8},
+        "system": {"mesh": {"data": -1}, "log_metrics": "jsonl"},
+        "paths": {"output_dir": str(tmp_path / "out"),
+                  "checkpoint_dir": str(tmp_path / "out/ckpt"),
+                  "log_dir": str(tmp_path / "out/logs")},
+    })
+
+
+@pytest.fixture()
+def dummy_ds():
+    return DummyDataset(size=64, mel_dim=8, max_text_length=40,
+                        max_mel_length=120, seed=0)
+
+
+def test_lr_schedule_warmup():
+    cfg = Config({"learning_rate": 1e-3, "warmup_steps": 10,
+                  "max_steps": 100, "lr_scheduler": "cosine"})
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) < 1e-4
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(sched(100)) < 1e-4
+
+
+def test_training_reduces_loss(tmp_path, dummy_ds):
+    cfg = tiny_config(tmp_path, max_steps=30, log_every=1)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    first_val = trainer.validate()["total_loss"]
+    last = trainer.train()
+    final_val = trainer.validate()["total_loss"]
+    trainer.close()
+    assert np.isfinite(last["total_loss"])
+    assert final_val < first_val  # random-data memorization still reduces loss
+
+
+def test_checkpoint_and_resume(tmp_path, dummy_ds):
+    cfg = tiny_config(tmp_path, max_steps=4, save_every=2)
+    t1 = Stage1Trainer(cfg, dataset=dummy_ds)
+    t1.train()
+    assert t1.ckpt.latest_step() == 4
+    t1.close()
+
+    cfg2 = tiny_config(tmp_path, max_steps=6, save_every=2)
+    t2 = Stage1Trainer(cfg2, dataset=dummy_ds)
+    t2.train(resume=True)
+    assert t2.step == 6
+    t2.close()
+
+
+def test_gradient_accumulation_actually_accumulates(tmp_path, dummy_ds):
+    """Params must change only every k micro-steps (the reference's
+    accumulation never accumulated; ours must)."""
+    # constant lr: with warmup the first applied update would be lr=0
+    cfg = tiny_config(tmp_path, gradient_accumulation_steps=2, max_steps=1,
+                      lr_scheduler="constant", warmup_steps=0)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    from m2tts_tpu.data.dataset import data_iterator
+
+    it = data_iterator(dummy_ds, 8, trainer.buckets, seed=0)
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    batch = trainer._put(next(it))
+    trainer.state, _ = trainer._train_step(trainer.state, batch,
+                                           jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    # after the first micro-step nothing is applied yet
+    flat0 = jax.tree_util.tree_leaves(p0)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    assert all(np.allclose(a, b) for a, b in zip(flat0, flat1))
+
+    batch = trainer._put(next(it))
+    trainer.state, _ = trainer._train_step(trainer.state, batch,
+                                           jax.random.PRNGKey(1))
+    p2 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    assert not all(np.allclose(a, b) for a, b in zip(flat0, flat2))
+    trainer.close()
+
+
+def test_data_parallel_mesh_used(tmp_path, dummy_ds):
+    trainer = Stage1Trainer(tiny_config(tmp_path, max_steps=2), dataset=dummy_ds)
+    assert trainer.mesh.shape["data"] == 8  # virtual CPU mesh from conftest
+    trainer.train()
+    trainer.close()
+
+
+def test_dp_grads_match_single_device(tmp_path, dummy_ds):
+    """8-way data parallel step == single-device step on the same batch."""
+    from m2tts_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config(tmp_path, max_steps=1)
+    t_dp = Stage1Trainer(cfg, dataset=dummy_ds)
+    t_sd = Stage1Trainer(tiny_config(tmp_path / "sd", max_steps=1),
+                         dataset=dummy_ds,
+                         mesh=make_mesh(1, devices=jax.devices()[:1]))
+    from m2tts_tpu.data.dataset import make_batches
+
+    batch = next(make_batches(dummy_ds, 8, t_dp.buckets, seed=5))
+    rng = jax.random.PRNGKey(0)
+    # disable dropout for determinism across shardings
+    t_dp.model, t_sd.model  # same architecture, same init seed
+    s_dp, l_dp = t_dp._train_step(t_dp.state, t_dp._put(batch), rng)
+    s_sd, l_sd = t_sd._train_step(t_sd.state, t_sd._put(batch), rng)
+    np.testing.assert_allclose(float(l_dp["total_loss"]),
+                               float(l_sd["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_dp.params),
+                    jax.tree_util.tree_leaves(s_sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    t_dp.close()
+    t_sd.close()
