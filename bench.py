@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness: batched synthesis throughput + single-stream RTF.
+
+Runs the flagship model (configs/flagship_tpu.yaml: 96d/3+3 layers, 80
+mels, 256-ch vocoder with rate-consistent 256x upsampling) through the
+bucketed serving pipeline on the default JAX backend (the real TPU chip
+under the driver; CPU elsewhere).
+
+Prints ONE JSON line:
+  metric      : audio-sec generated per wall-second per chip, batched
+  vs_baseline : ratio vs the reference's own target — RTF < 0.5 on M2
+                (reference configs/stage2_quality.yaml:124), i.e.
+                2 audio-sec/sec. The rebuild's north-star targets are
+                >500 audio-sec/sec batched and RTF < 0.01 single-stream
+                (BASELINE.md), reported in the extra fields.
+
+Extra fields: rtf_single_stream, batched details, device, params.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BATCH = 32
+TEXT_BUCKET = 128
+FRAME_BUCKET = 512
+ITERS = 20
+SAMPLE_RATE = 22050
+
+EVAL_TEXTS = [
+    "Hello world, this is a test of the improved model.",
+    "The quick brown fox jumps over the lazy dog.",
+    "M2 TTS generates high quality speech synthesis.",
+    "This model runs efficiently on Apple Silicon hardware.",
+    "Printing, in the only sense with which we are at present concerned.",
+    "The invention of movable metal letters was the immediate cause.",
+    "Speech synthesis research moved to neural vocoders many years ago.",
+    "A fast non autoregressive model can serve many streams at once.",
+]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from m2tts_tpu.models import build_model
+    from m2tts_tpu.models.tts_model import count_parameters
+    from m2tts_tpu.serving.pipeline import Synthesizer
+    from m2tts_tpu.utils.config import load_config
+
+    cfg = load_config(Path(__file__).parent / "configs/flagship_tpu.yaml")
+    model = build_model(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 8), jnp.int32), max_frames=16,
+                        run_vocoder=True)
+
+    synth = Synthesizer(model, params,
+                        text_buckets=(TEXT_BUCKET,),
+                        frame_buckets=(FRAME_BUCKET,),
+                        batch_buckets=(1, BATCH))
+
+    texts = (EVAL_TEXTS * ((BATCH // len(EVAL_TEXTS)) + 1))[:BATCH]
+
+    # calibrate duration_scale so random-init durations expand to a
+    # realistic LJSpeech-like frame count (~4 frames/phoneme) and fill the
+    # frame bucket honestly
+    enc = synth.text_processor.batch(texts, TEXT_BUCKET)
+    frames = synth.predict_frames(enc["phoneme_ids"], enc["lengths"], 1.0)
+    target_frames = int(FRAME_BUCKET * 0.85)
+    scale = float(target_frames / max(frames.mean(), 1.0))
+
+    # ---- batched throughput ----
+    for _ in range(3):  # warmup + compile
+        results = synth.synthesize_batch(texts, duration_scale=scale,
+                                         max_frames=FRAME_BUCKET)
+    t0 = time.perf_counter()
+    total_audio_sec = 0.0
+    for _ in range(ITERS):
+        results = synth.synthesize_batch(texts, duration_scale=scale,
+                                         max_frames=FRAME_BUCKET)
+        total_audio_sec += sum(len(r["audio"]) for r in results) / SAMPLE_RATE
+    elapsed = time.perf_counter() - t0
+    throughput = total_audio_sec / elapsed
+
+    # ---- single-stream RTF ----
+    one = [texts[0]]
+    for _ in range(3):
+        r = synth.synthesize_batch(one, duration_scale=scale,
+                                   max_frames=FRAME_BUCKET)
+    n_single = 20
+    t0 = time.perf_counter()
+    single_audio = 0.0
+    for _ in range(n_single):
+        r = synth.synthesize_batch(one, duration_scale=scale,
+                                   max_frames=FRAME_BUCKET)
+        single_audio += len(r[0]["audio"]) / SAMPLE_RATE
+    single_elapsed = time.perf_counter() - t0
+    rtf = single_elapsed / max(single_audio, 1e-9)
+
+    reference_target_audio_per_sec = 2.0  # RTF<0.5 target on M2
+    result = {
+        "metric": "batched_synthesis_throughput",
+        "value": round(throughput, 2),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(throughput / reference_target_audio_per_sec, 2),
+        "rtf_single_stream": round(rtf, 6),
+        "realtime_x_single_stream": round(1.0 / rtf, 1),
+        "batch": BATCH,
+        "frame_bucket": FRAME_BUCKET,
+        "params": count_parameters(params),
+        "device": str(jax.devices()[0]),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
