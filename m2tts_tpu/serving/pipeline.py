@@ -16,7 +16,7 @@ handful of compilations:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,14 +80,28 @@ class Synthesizer:
             self._probe = probe
         return self._probe
 
-    def _get_synth(self, max_frames: int):
-        if max_frames not in self._synth:
+    def _get_synth(self, max_frames: int, want_mel: bool):
+        """Compiled synthesis graph. The fast path quantizes audio to int16
+        on device (PCM) and skips the mel output entirely — device→host
+        bytes, not FLOPs, bound serving throughput on PCIe/tunnel hosts."""
+        key = (max_frames, want_mel)
+        if key not in self._synth:
             model = self.model
-            self._synth[max_frames] = jax.jit(
-                lambda p, i, l, s: model.apply(
-                    p, i, l, duration_scale=s, max_frames=max_frames,
-                    method=model.synthesize))
-        return self._synth[max_frames]
+
+            def fn(p, ids, lengths, scale):
+                out = model.apply(p, ids, lengths, duration_scale=scale,
+                                  max_frames=max_frames,
+                                  method=model.synthesize)
+                audio = out["audio_output"][..., 0]
+                pcm = jnp.clip(audio, -1.0, 1.0) * 32767.0
+                result = {"pcm": pcm.astype(jnp.int16),
+                          "total_frames": out["total_frames"]}
+                if want_mel:
+                    result["mel"] = out["mel_output"]
+                return result
+
+            self._synth[key] = jax.jit(fn)
+        return self._synth[key]
 
     # -- public API ---------------------------------------------------------
     def predict_frames(self, ids: np.ndarray, lengths: np.ndarray,
@@ -97,50 +111,89 @@ class Synthesizer:
                                 jnp.asarray(lengths),
                                 jnp.asarray(duration_scale, jnp.float32)))
 
-    def synthesize_batch(self, texts: List[str], duration_scale: float = 1.0,
-                         max_frames: Optional[int] = None
-                         ) -> List[Dict[str, np.ndarray]]:
-        """Synthesize a list of texts; returns per-utterance dicts with
-        trimmed ``audio`` [samples], ``mel`` [frames, n_mels], ``frames``."""
-        if not texts:
-            return []
+    def _encode_batch(self, texts: List[str]):
         n = len(texts)
         batch_n = _bucket_for(n, self.batch_buckets)
-
         max_phonemes = max(len(self.text_processor.text_to_phonemes(t))
                            for t in texts)
         text_bucket = _bucket_for(max_phonemes, self.text_buckets)
         enc = self.text_processor.batch(texts, text_bucket)
-        ids = np.zeros((batch_n, text_bucket), np.int32)
-        ids[:] = self.text_processor.phonemes_to_ids(["SIL"])[0]
+        ids = np.full((batch_n, text_bucket),
+                      self.text_processor.phonemes_to_ids(["SIL"])[0],
+                      np.int32)
         ids[:n] = enc["phoneme_ids"]
         lengths = np.zeros((batch_n,), np.int32)
         lengths[:n] = enc["lengths"]
+        return ids, lengths
 
+    def _launch(self, texts: List[str], duration_scale: float,
+                max_frames: Optional[int], want_mel: bool):
+        """Dispatch the compiled graph; returns (device outputs, max_frames)."""
+        ids, lengths = self._encode_batch(texts)
         if max_frames is None:
             totals = self.predict_frames(ids, lengths, duration_scale)
-            max_frames = _bucket_for(int(totals[:n].max()), self.frame_buckets)
-
-        fn = self._get_synth(max_frames)
+            max_frames = _bucket_for(int(totals[: len(texts)].max()),
+                                     self.frame_buckets)
+        fn = self._get_synth(max_frames, want_mel)
         out = fn(self.params, jnp.asarray(ids), jnp.asarray(lengths),
                  jnp.asarray(duration_scale, jnp.float32))
-        audio = np.asarray(out["audio_output"])[..., 0]  # [B, samples]
-        mel = np.asarray(out["mel_output"])
-        totals = np.asarray(out["total_frames"])
+        return out, max_frames
 
+    def _collect(self, out, max_frames: int, n: int, want_mel: bool
+                 ) -> List[Dict[str, np.ndarray]]:
+        pcm = np.asarray(out["pcm"])  # [B, samples] int16
+        totals = np.asarray(out["total_frames"])
+        mel = np.asarray(out["mel"]) if want_mel else None
         results = []
         for i in range(n):
             frames = int(min(totals[i], max_frames))
-            results.append({
-                "audio": audio[i, : frames * self.upsample],
-                "mel": mel[i, :frames],
+            res = {
+                "audio_pcm": pcm[i, : frames * self.upsample],
+                "audio": pcm[i, : frames * self.upsample].astype(np.float32)
+                / 32767.0,
                 "frames": frames,
-            })
+            }
+            if want_mel:
+                res["mel"] = mel[i, :frames]
+            results.append(res)
         return results
 
-    def synthesize(self, text: str, duration_scale: float = 1.0
-                   ) -> Dict[str, np.ndarray]:
-        return self.synthesize_batch([text], duration_scale)[0]
+    def synthesize_batch(self, texts: List[str], duration_scale: float = 1.0,
+                         max_frames: Optional[int] = None,
+                         want_mel: bool = False
+                         ) -> List[Dict[str, np.ndarray]]:
+        """Synthesize a list of texts; returns per-utterance dicts with
+        trimmed ``audio`` (float32), ``audio_pcm`` (int16), ``frames``, and
+        ``mel`` when ``want_mel``."""
+        if not texts:
+            return []
+        out, max_frames = self._launch(texts, duration_scale, max_frames,
+                                       want_mel)
+        return self._collect(out, max_frames, len(texts), want_mel)
+
+    def synthesize_stream(self, batches: Iterable[List[str]],
+                          duration_scale: float = 1.0,
+                          max_frames: Optional[int] = None,
+                          want_mel: bool = False
+                          ) -> Iterator[List[Dict[str, np.ndarray]]]:
+        """Pipelined bulk synthesis: batch i+1 is dispatched before batch
+        i's results are fetched, overlapping device compute with the
+        device→host copy (double buffering)."""
+        pending = None  # (out, max_frames, n)
+        for texts in batches:
+            launched = (*self._launch(texts, duration_scale, max_frames,
+                                      want_mel), len(texts))
+            if pending is not None:
+                yield self._collect(pending[0], pending[1], pending[2],
+                                    want_mel)
+            pending = launched
+        if pending is not None:
+            yield self._collect(pending[0], pending[1], pending[2], want_mel)
+
+    def synthesize(self, text: str, duration_scale: float = 1.0,
+                   want_mel: bool = False) -> Dict[str, np.ndarray]:
+        return self.synthesize_batch([text], duration_scale,
+                                     want_mel=want_mel)[0]
 
     @property
     def rtf_seconds_per_audio_second(self):  # convenience for benchmarks

@@ -54,7 +54,8 @@ def main(argv=None):
              else [l.strip() for l in open(args.batch_file) if l.strip()])
 
     t0 = time.perf_counter()
-    results = synth.synthesize_batch(texts, args.duration_scale)
+    results = synth.synthesize_batch(texts, args.duration_scale,
+                                     want_mel=args.griffin_lim)
     elapsed = time.perf_counter() - t0
 
     out = Path(args.output)

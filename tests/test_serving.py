@@ -27,11 +27,13 @@ def test_bucket_for():
 
 
 def test_single_utterance(synth):
-    res = synth.synthesize("hello world")
+    res = synth.synthesize("hello world", want_mel=True)
     assert res["frames"] > 0
     assert res["audio"].shape == (res["frames"] * 64,)
     assert res["mel"].shape == (res["frames"], 16)
+    assert res["audio_pcm"].dtype == np.int16
     assert np.isfinite(res["audio"]).all()
+    assert np.abs(res["audio"]).max() <= 1.0
 
 
 def test_batch_mixed_lengths(synth):
@@ -40,7 +42,16 @@ def test_batch_mixed_lengths(synth):
     assert len(results) == 3
     # batch padding must not change per-utterance results
     solo = synth.synthesize(texts[0])
-    np.testing.assert_allclose(results[0]["audio"], solo["audio"], atol=1e-5)
+    np.testing.assert_allclose(results[0]["audio"], solo["audio"], atol=1e-4)
+
+
+def test_synthesize_stream_matches_batch(synth):
+    batches = [["hello"], ["hello world"], ["the world"]]
+    streamed = list(synth.synthesize_stream(iter(batches)))
+    assert len(streamed) == 3
+    direct = [synth.synthesize_batch(b) for b in batches]
+    for s, d in zip(streamed, direct):
+        np.testing.assert_array_equal(s[0]["audio_pcm"], d[0]["audio_pcm"])
 
 
 def test_duration_scale_lengthens(synth):
