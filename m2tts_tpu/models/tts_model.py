@@ -227,6 +227,10 @@ class M2TTS(nn.Module):
         scaled = duration_pred * jnp.asarray(duration_scale, duration_pred.dtype)
         regulated, frame_mask, total_frames = regulate_lengths(enc, scaled, max_frames)
         mel = self.decoder(regulated, frame_mask if self.mask_decoder else None, True)
+        # zero mel beyond each utterance's total frames so bucket padding
+        # cannot bleed through the vocoder's receptive field into the tail
+        # of the real audio (serving trims audio to total_frames*upsample)
+        mel = mel * frame_mask[..., None].astype(mel.dtype)
         audio = self.vocoder(mel)
         up = 1
         for r in self.upsample_rates:

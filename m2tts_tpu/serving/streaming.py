@@ -1,0 +1,147 @@
+"""Streaming chunked vocoder: low-latency single-stream synthesis.
+
+Named in BASELINE.json ("Streaming chunked vocoder inference with
+overlap-add"). The vocoder stack is fully convolutional with a small
+receptive field (input conv k3 → ~±2.5 input frames end-to-end across the
+tconv/resblock stages), so chunked execution with a frame *halo* on each
+side reproduces the full-graph output exactly:
+
+- mel frames are processed in fixed ``chunk_frames`` windows with
+  ``halo_frames`` of context on each side (zero-padded at utterance
+  boundaries, matching the full graph's SAME-padding),
+- one compiled graph serves every chunk; only the final partial chunk is
+  masked on the host,
+- the same vocoder params/kernels serve the batch path (BASELINE.json:
+  "batched and streaming vocoder paths share the same kernels").
+
+Exactness (streamed == full graph, bit-for-bit up to fp reassociation) is
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m2tts_tpu.models.tts_model import M2TTS
+
+# End-to-end receptive field of the vocoder in input (mel) frames:
+# input conv ±1, first tconv ±1, then ±(2/r1 + 1/r1 + 2/(r1 r2) + ...)
+# < 0.5 for every supported rate config. 4 frames is safely conservative.
+DEFAULT_HALO_FRAMES = 4
+
+
+class StreamingVocoder:
+    """Chunked mel→waveform streaming over a shared compiled vocoder."""
+
+    def __init__(self, model: M2TTS, params, chunk_frames: int = 64,
+                 halo_frames: int = DEFAULT_HALO_FRAMES):
+        self.model = model
+        self.params = params
+        self.chunk_frames = chunk_frames
+        self.halo = halo_frames
+        self.upsample = 1
+        for r in model.upsample_rates:
+            self.upsample *= r
+
+        window = self.halo + chunk_frames + self.halo
+
+        def run_chunk(params, mel_window):
+            """mel_window: [B, window, C] → window audio [B, window*U].
+            The variable center slice happens on the host (the last chunk's
+            offset differs, and output shapes under jit must be static)."""
+            return model.apply(params, mel_window,
+                               method=lambda m, x: m.vocoder(x))[..., 0]
+
+        self._run_chunk = jax.jit(run_chunk)
+        self._window = window
+
+    def stream(self, mel: np.ndarray, total_frames: Optional[int] = None
+               ) -> Iterator[np.ndarray]:
+        """Yield waveform chunks for ``mel`` [T, C] (single utterance).
+
+        Windows are contiguous slices of the true mel, shifted inward at
+        the utterance edges so the window boundary coincides with the
+        array boundary there — the convs' own SAME zero-padding then
+        reproduces the full graph's edge behavior exactly. (Zero-padding a
+        halo would NOT be exact: conv biases give "zero" halo frames
+        nonzero activations, unlike the full graph's true boundary.)
+        """
+        mel = np.asarray(mel)
+        T = int(total_frames) if total_frames is not None else mel.shape[0]
+        mel = mel[:T]
+        U = self.upsample
+        W = self._window
+        if T <= W:
+            # short utterance: one exact full-graph call (tiny compile,
+            # cached per length)
+            audio = np.asarray(self.model.apply(
+                self.params, jnp.asarray(mel[None]),
+                method=lambda m, x: m.vocoder(x)))[0, :, 0]
+            yield audio
+            return
+        n_chunks = -(-T // self.chunk_frames)
+        for ci in range(n_chunks):
+            s = ci * self.chunk_frames
+            e = min(s + self.chunk_frames, T)
+            w = min(max(s - self.halo, 0), T - W)
+            window = mel[w: w + W][None]
+            audio = np.asarray(self._run_chunk(self.params,
+                                               jnp.asarray(window)))[0]
+            off = (s - w) * U
+            yield audio[off: off + (e - s) * U]
+
+    def synthesize(self, mel: np.ndarray,
+                   total_frames: Optional[int] = None) -> np.ndarray:
+        """Convenience: concatenate all streamed chunks."""
+        return np.concatenate(list(self.stream(mel, total_frames)))
+
+
+class StreamingSynthesizer:
+    """Text → first-audio-chunk latency path: one compiled acoustic pass,
+    then chunked vocoding. Shares params with the batch Synthesizer."""
+
+    def __init__(self, model: M2TTS, params, chunk_frames: int = 64,
+                 max_frames: int = 1000, text_bucket: int = 128,
+                 halo_frames: int = DEFAULT_HALO_FRAMES):
+        from m2tts_tpu.frontend.text import TextProcessor
+
+        self.model = model
+        self.params = params
+        self.max_frames = max_frames
+        self.text_bucket = text_bucket
+        self.text_processor = TextProcessor()
+        self.vocoder = StreamingVocoder(model, params, chunk_frames,
+                                        halo_frames)
+
+        def acoustic(params, ids, lengths, scale):
+            enc, _ = model.apply(params, ids, lengths, True,
+                                 method=lambda m, i, l, d:
+                                 m.text_encoder(i, l, d))
+            durations = model.apply(params, enc, True,
+                                    method=lambda m, e, d:
+                                    m.duration_predictor(e, d))
+            from m2tts_tpu.ops.length_regulator import regulate_lengths
+
+            regulated, frame_mask, total = regulate_lengths(
+                enc, durations * scale, max_frames)
+            mel = model.apply(
+                params, regulated,
+                frame_mask if model.mask_decoder else None,
+                method=lambda m, x, mask: m.decoder(x, mask, True))
+            return mel, total
+
+        self._acoustic = jax.jit(acoustic)
+
+    def stream(self, text: str, duration_scale: float = 1.0
+               ) -> Iterator[np.ndarray]:
+        enc = self.text_processor.batch([text], self.text_bucket)
+        mel, total = self._acoustic(
+            self.params, jnp.asarray(enc["phoneme_ids"]),
+            jnp.asarray(enc["lengths"]),
+            jnp.asarray(duration_scale, jnp.float32))
+        frames = int(min(int(total[0]), self.max_frames))
+        yield from self.vocoder.stream(np.asarray(mel[0]), frames)

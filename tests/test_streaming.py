@@ -1,0 +1,81 @@
+"""Streaming vocoder must equal the full-graph vocoder exactly across chunk
+boundaries (the hard part per SURVEY.md §7: overlap correctness vs the
+resblocks' receptive field)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m2tts_tpu.models import M2TTS
+from m2tts_tpu.serving.streaming import StreamingSynthesizer, StreamingVocoder
+
+
+@pytest.fixture(scope="module", params=[(4, 4, 2, 2), (8, 8, 2, 2)],
+                ids=["compat64x", "fixed256x"])
+def model_and_params(request):
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1,
+                  upsample_rates=request.param)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    return model, params
+
+
+def full_vocoder(model, params, mel):
+    return np.asarray(model.apply(params, jnp.asarray(mel[None]),
+                                  method=lambda m, x: m.vocoder(x)))[0, :, 0]
+
+
+def test_streaming_equals_full(model_and_params, rng):
+    model, params = model_and_params
+    mel = rng.normal(size=(100, 16)).astype(np.float32)
+    sv = StreamingVocoder(model, params, chunk_frames=32)
+    streamed = sv.synthesize(mel)
+    full = full_vocoder(model, params, mel)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-6)
+
+
+def test_streaming_partial_last_chunk(model_and_params, rng):
+    model, params = model_and_params
+    mel = rng.normal(size=(45, 16)).astype(np.float32)  # 45 = 32 + 13
+    sv = StreamingVocoder(model, params, chunk_frames=32)
+    chunks = list(sv.stream(mel))
+    assert len(chunks) == 2
+    up = sv.upsample
+    assert chunks[0].shape == (32 * up,)
+    assert chunks[1].shape == (13 * up,)
+    np.testing.assert_allclose(np.concatenate(chunks),
+                               full_vocoder(model, params, mel), atol=2e-6)
+
+
+def test_streaming_single_chunk(model_and_params, rng):
+    model, params = model_and_params
+    mel = rng.normal(size=(10, 16)).astype(np.float32)
+    sv = StreamingVocoder(model, params, chunk_frames=32)
+    np.testing.assert_allclose(sv.synthesize(mel),
+                               full_vocoder(model, params, mel), atol=2e-6)
+
+
+def test_streaming_synthesizer_end_to_end(model_and_params):
+    model, params = model_and_params
+    ss = StreamingSynthesizer(model, params, chunk_frames=16, max_frames=64,
+                              text_bucket=32)
+    chunks = list(ss.stream("hello world"))
+    assert len(chunks) >= 1
+    audio = np.concatenate(chunks)
+    assert np.isfinite(audio).all()
+
+    # must agree with the batch pipeline on the same params, except within
+    # the vocoder's receptive field of the utterance end: the bucketed
+    # batch graph sees zeroed padding frames there while streaming sees
+    # the true utterance boundary
+    from m2tts_tpu.serving.pipeline import Synthesizer
+
+    batch = Synthesizer(model, params, text_buckets=(32,), frame_buckets=(64,),
+                        batch_buckets=(1,))
+    res = batch.synthesize("hello world")
+    assert len(audio) == len(res["audio"])
+    tail = 4 * ss.vocoder.upsample
+    np.testing.assert_allclose(audio[:-tail], res["audio"][:-tail], atol=2e-4)
