@@ -1,0 +1,116 @@
+"""Matmul-form vocoder: the HiFi-GAN-lite stack as dense GEMMs.
+
+The vocoder's ops (k=3 convs, k=2r/s=r transposed convs) have tiny channel
+counts, which XLA's generic conv lowering handles poorly on TPU. Both ops
+have exact dense-matmul reformulations that put the long time axis on the
+MXU's M dimension:
+
+- conv k3  →  concat(x_{t-1}, x_t, x_{t+1}) [T, 3C] @ W [3C, C']
+- tconv(k=2r, s=r, p=r/2)  →  sub-pixel conv: every output sample
+  o = q*r + j draws on exactly two inputs (q-1/q or q/q+1 depending on
+  j vs r/2), so out[q] = concat(x_{q-1}, x_q, x_{q+1}) @ W' [3C, r*C']
+  followed by a (T, r, C') → (T*r, C') merge. W' is the torch/our
+  (in, out, k) kernel scattered by m = (q-i)*r + j + r/2 (zeros where the
+  tap index falls outside [0, 2r)).
+
+``pack_vocoder_weights`` converts flax Vocoder params into this form once;
+``vocoder_mm_forward`` runs the whole stack as plain-XLA GEMMs. The Pallas
+kernel (ops/pallas/vocoder.py) consumes the same packed weights and fuses
+all stages per time tile in VMEM. Equivalence to the reference-parity
+Vocoder module is asserted in tests/test_vocoder_mm.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def pack_conv3(kernel: np.ndarray, bias: np.ndarray) -> Dict[str, np.ndarray]:
+    """flax Conv kernel [3, Cin, Cout] → rows [x_{t-1}; x_t; x_{t+1}]."""
+    k, cin, cout = kernel.shape
+    assert k == 3
+    return {"w": np.asarray(kernel, np.float32).reshape(3 * cin, cout),
+            "b": np.asarray(bias, np.float32)}
+
+
+def pack_tconv(kernel: np.ndarray, bias: np.ndarray, rate: int
+               ) -> Dict[str, np.ndarray]:
+    """(in, out, 2r) tconv kernel → [3*Cin, r*Cout] sub-pixel matrix."""
+    cin, cout, k = kernel.shape
+    assert k == 2 * rate
+    half = rate // 2
+    W = np.zeros((3 * cin, rate * cout), np.float32)
+    for j in range(rate):
+        for block, delta in ((0, -1), (1, 0), (2, 1)):
+            m = -delta * rate + j + half
+            if 0 <= m < k:
+                W[block * cin: (block + 1) * cin,
+                  j * cout: (j + 1) * cout] = kernel[:, :, m]
+    return {"w": W, "b": np.asarray(bias, np.float32), "rate": rate,
+            "cout": cout}
+
+
+def pack_vocoder_weights(vocoder_params: Dict, rates: Sequence[int]
+                         ) -> Dict[str, Dict]:
+    """flax Vocoder param subtree → packed matmul-form weights."""
+    p = vocoder_params
+
+    def conv(tree):
+        return pack_conv3(np.asarray(tree["conv"]["kernel"]),
+                          np.asarray(tree["conv"]["bias"]))
+
+    packed: Dict[str, Dict] = {
+        "input_conv": conv(p["input_conv"]),
+        "output_conv": conv(p["output_conv"]),
+        "stages": [],
+    }
+    for i, r in enumerate(rates):
+        up = p[f"upsample{i}"]
+        res = p[f"resblock{i}"]
+        packed["stages"].append({
+            "tconv": pack_tconv(np.asarray(up["kernel"]),
+                                np.asarray(up["bias"]), r),
+            "res1": conv(res["conv1"]),
+            "res2": conv(res["conv2"]),
+        })
+    return packed
+
+
+def _neighbors(x: Array) -> Array:
+    """[..., T, C] → [..., T, 3C] with zero boundary (SAME padding)."""
+    zeros = jnp.zeros_like(x[..., :1, :])
+    up = jnp.concatenate([zeros, x[..., :-1, :]], axis=-2)   # x_{t-1}
+    dn = jnp.concatenate([x[..., 1:, :], zeros], axis=-2)    # x_{t+1}
+    return jnp.concatenate([up, x, dn], axis=-1)
+
+
+def conv3_mm(x: Array, w, b) -> Array:
+    return jnp.dot(_neighbors(x), jnp.asarray(w),
+                   preferred_element_type=jnp.float32) + jnp.asarray(b)
+
+
+def tconv_mm(x: Array, packed) -> Array:
+    """[B, T, Cin] → [B, T*r, Cout]."""
+    B, T, _ = x.shape
+    r, cout = packed["rate"], packed["cout"]
+    y = jnp.dot(_neighbors(x), jnp.asarray(packed["w"]),
+                preferred_element_type=jnp.float32)
+    y = y.reshape(B, T * r, cout) + jnp.asarray(packed["b"])
+    return y
+
+
+def vocoder_mm_forward(mel: Array, packed: Dict) -> Array:
+    """[B, T, mel] → [B, T*prod(rates)] waveform (tanh output)."""
+    x = conv3_mm(mel, **packed["input_conv"])
+    for stage in packed["stages"]:
+        x = tconv_mm(x, stage["tconv"])
+        x = jnp.where(x >= 0, x, 0.1 * x)  # leaky_relu(0.1)
+        h = conv3_mm(x, **stage["res1"])
+        h = jnp.where(h >= 0, h, 0.1 * h)
+        x = x + conv3_mm(h, **stage["res2"])
+    audio = jnp.tanh(conv3_mm(x, **packed["output_conv"]))
+    return audio[..., 0]
