@@ -212,11 +212,11 @@ class M2TTS(nn.Module):
             "total_frames": total_frames,
         }
 
-    def synthesize(self, phoneme_ids: Array,
-                   phoneme_lengths: Optional[Array] = None,
-                   duration_scale: Array = 1.0,
-                   max_frames: int = 1000) -> Dict[str, Any]:
-        """Inference: predicted durations × scale → mel → waveform.
+    def acoustic(self, phoneme_ids: Array,
+                 phoneme_lengths: Optional[Array] = None,
+                 duration_scale: Array = 1.0,
+                 max_frames: int = 1000) -> Dict[str, Any]:
+        """Inference acoustic path: text → masked mel (no vocoder).
 
         A single compiled graph regardless of duration_scale (the reference
         re-runs regulator+decoder in Python when scale != 1,
@@ -231,6 +231,22 @@ class M2TTS(nn.Module):
         # cannot bleed through the vocoder's receptive field into the tail
         # of the real audio (serving trims audio to total_frames*upsample)
         mel = mel * frame_mask[..., None].astype(mel.dtype)
+        return {
+            "mel_output": mel,
+            "duration_pred": duration_pred,
+            "frame_mask": frame_mask,
+            "total_frames": total_frames,
+        }
+
+    def synthesize(self, phoneme_ids: Array,
+                   phoneme_lengths: Optional[Array] = None,
+                   duration_scale: Array = 1.0,
+                   max_frames: int = 1000) -> Dict[str, Any]:
+        """Full inference: acoustic path + vocoder."""
+        out = self.acoustic(phoneme_ids, phoneme_lengths, duration_scale,
+                            max_frames)
+        mel, total_frames = out["mel_output"], out["total_frames"]
+        duration_pred, frame_mask = out["duration_pred"], out["frame_mask"]
         audio = self.vocoder(mel)
         up = 1
         for r in self.upsample_rates:

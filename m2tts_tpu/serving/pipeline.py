@@ -46,7 +46,11 @@ class Synthesizer:
                  frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
                  batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
                  sample_rate: int = 22050, hop_length: int = 256,
-                 extra_lexicon=None):
+                 extra_lexicon=None, vocoder_backend: str = "xla"):
+        """``vocoder_backend``: 'xla' (the Flax module as-is), 'mm' (dense
+        matmul reformulation, plain XLA), or 'pallas' (fused VMEM-resident
+        kernel; TPU only). All three are numerically equivalent — see
+        tests/test_vocoder_mm.py and tests/test_pallas_vocoder.py."""
         self.model = model
         self.params = params
         self.text_buckets = tuple(text_buckets)
@@ -58,6 +62,24 @@ class Synthesizer:
         self.upsample = 1
         for r in model.upsample_rates:
             self.upsample *= r
+
+        if vocoder_backend not in ("xla", "mm", "pallas"):
+            raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
+        self.vocoder_backend = vocoder_backend
+        self._vocoder_fn = None
+        if vocoder_backend != "xla":
+            from m2tts_tpu.ops.vocoder_mm import (
+                pack_vocoder_weights, vocoder_mm_forward)
+
+            packed = pack_vocoder_weights(
+                params["params"]["vocoder"], model.upsample_rates)
+            if vocoder_backend == "mm":
+                self._vocoder_fn = lambda mel: vocoder_mm_forward(mel, packed)
+            else:
+                from m2tts_tpu.ops.pallas.vocoder import build_fused_vocoder
+
+                self._vocoder_fn = build_fused_vocoder(
+                    packed, model.upsample_rates)
 
         self._synth = {}  # max_frames -> compiled fn
         self._probe = None  # lazily compiled duration probe
@@ -87,12 +109,19 @@ class Synthesizer:
         key = (max_frames, want_mel)
         if key not in self._synth:
             model = self.model
+            vocoder_fn = self._vocoder_fn
 
             def fn(p, ids, lengths, scale):
-                out = model.apply(p, ids, lengths, duration_scale=scale,
-                                  max_frames=max_frames,
-                                  method=model.synthesize)
-                audio = out["audio_output"][..., 0]
+                if vocoder_fn is None:
+                    out = model.apply(p, ids, lengths, duration_scale=scale,
+                                      max_frames=max_frames,
+                                      method=model.synthesize)
+                    audio = out["audio_output"][..., 0]
+                else:
+                    out = model.apply(p, ids, lengths, duration_scale=scale,
+                                      max_frames=max_frames,
+                                      method=model.acoustic)
+                    audio = vocoder_fn(out["mel_output"])
                 pcm = jnp.clip(audio, -1.0, 1.0) * 32767.0
                 result = {"pcm": pcm.astype(jnp.int16),
                           "total_frames": out["total_frames"]}
