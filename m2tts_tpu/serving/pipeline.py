@@ -229,6 +229,24 @@ class Synthesizer:
         return None
 
 
+def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:
+    """Synthesizer with freshly initialized (untrained) params from a config.
+
+    Used by smoke tests and benchmarks that exercise the compiled serving
+    path without a trained checkpoint.
+    """
+    model = build_model(config.model)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    lengths = jnp.array([16], jnp.int32)
+    params = model.init(rng, ids, lengths, max_frames=64, run_vocoder=True)
+    return Synthesizer(model, params,
+                       sample_rate=int(config.get("data.sample_rate", 22050)),
+                       hop_length=int(config.get("data.hop_length", 256)),
+                       vocoder_backend=vocoder_backend)
+
+
 def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None
                     ) -> Synthesizer:
     """Build a Synthesizer from a self-describing checkpoint directory."""
