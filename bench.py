@@ -47,7 +47,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from m2tts_tpu.models import build_model
+    from m2tts_tpu.models import build_model, init_params
     from m2tts_tpu.models.tts_model import count_parameters
     from m2tts_tpu.serving.pipeline import Synthesizer
     from m2tts_tpu.utils.config import load_config
@@ -55,13 +55,14 @@ def main():
     cfg = load_config(Path(__file__).parent / "configs/flagship_tpu.yaml")
     model = build_model(cfg.model)
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((1, 8), jnp.int32), max_frames=16,
-                        run_vocoder=True)
+    params = init_params(model, rng, jnp.zeros((1, 8), jnp.int32),
+                         max_frames=16, run_vocoder=True)
 
     synth = Synthesizer(model, params,
                         text_buckets=(TEXT_BUCKET,),
                         frame_buckets=(FRAME_BUCKET,),
-                        batch_buckets=(1, BATCH))
+                        batch_buckets=(1, BATCH),
+                        vocoder_backend="auto")
 
     texts = (EVAL_TEXTS * ((BATCH // len(EVAL_TEXTS)) + 1))[:BATCH]
 

@@ -5,4 +5,5 @@ from m2tts_tpu.models.tts_model import (  # noqa: F401
     MelDecoder,
     Vocoder,
     build_model,
+    init_params,
 )

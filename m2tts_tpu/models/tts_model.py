@@ -285,6 +285,31 @@ def build_model(model_cfg) -> M2TTS:
     )
 
 
+def init_params(model: M2TTS, rng, *args, device=None, **kwargs):
+    """Initialize model params on the host CPU, then place on ``device``.
+
+    Flax init runs its many small op dispatches eagerly; over a tunneled
+    TPU backend each dispatch pays a network round trip (measured: ~90 s
+    for the flagship config vs <1 s on host). Initializing under the CPU
+    backend and shipping the finished pytree in one transfer removes that
+    startup cost entirely. ``device`` defaults to the process default
+    (first TPU chip when present).
+    """
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    # operands must live on host too, else ops follow their placement
+    rng, args = jax.device_put((rng, args), cpu)
+    with jax.default_device(cpu):
+        params = model.init(rng, *args, **kwargs)
+    if device is None:
+        default = jax.devices()[0]
+        if default.platform == "cpu":
+            return params
+        device = default
+    return jax.device_put(params, device)
+
+
 def count_parameters(params) -> int:
     import jax
 

@@ -3,22 +3,47 @@
 Motivation (BASELINE.json: "the HiFi-GAN-style vocoder's transposed-conv
 upsampling and multi-receptive-field residual stacks become Pallas
 kernels"): XLA executes the vocoder as a chain of small-channel 1D convs
-with an HBM round-trip between stages; measured utilization on v5e is <1%
-of peak. This kernel runs ALL stages — input conv, every (tconv →
-leaky → resblock) pair, output conv, tanh — on one VMEM-resident tile of
-mel frames, using the dense matmul reformulation from
-m2tts_tpu/ops/vocoder_mm.py (time on the MXU's M axis, packed sub-pixel
-tconv weights). Intermediate activations never touch HBM; weights
-(~1-3 MB) stay in VMEM across the grid.
+with an HBM round-trip between stages. This kernel runs ALL stages —
+input conv, every (tconv → leaky → resblock) pair, output conv, tanh —
+on one VMEM-resident tile of mel frames, using the dense matmul
+reformulation from m2tts_tpu/ops/vocoder_mm.py (time on the MXU's M axis,
+packed sub-pixel tconv weights). Intermediate activations never touch
+HBM; weights stay in VMEM across the grid.
+
+TPU-lowering constraints shape three design points (found by compiling
+on real v5e hardware — interpret mode accepts much more than Mosaic):
+
+1. **HBM DMA slices need a 128-multiple minor dim**, so the mel window
+   is consumed channel-padded to 128 lanes (wrapper pads activations,
+   packing pads the input-conv weight rows to match).
+2. **The phase-merge reshape [N, r*C] → [N*r, C] only lowers when C is
+   a multiple of 128**, so every stage's channel dim is zero-padded to
+   128 lanes: weights become block-padded ([Cin, Cout] blocks placed at
+   128-aligned offsets), padded lanes carry exact zeros through
+   leaky-relu and residual adds, and the merge is always
+   [N, r*128k] → [N*r, 128k]. The MXU pads sub-128 lane dims internally
+   anyway, so the extra FLOPs were already being paid by the XLA path.
+3. **k=3 convs are computed as shift-accumulate** (x₋₁@W_up + x@W_c +
+   x₊₁@W_dn) instead of a [N, 3C] concat — same FLOPs, one third the
+   peak VMEM at the widest stage (the audio-rate output conv).
 
 Tiling: grid = (batch, T/tile). Each program DMAs a window of
 ``tile + 2*halo`` frames from HBM (window start clamped into [0, T-win]
 so at utterance edges the window boundary coincides with the true mel
 boundary — the in-kernel zero-padded shifts then reproduce the full
 graph's SAME-padding exactly, the same trick as the streaming vocoder),
-computes the full stack on the window, and writes the center
-``tile*U`` samples. Halo of 4 frames covers the end-to-end receptive
-field (~2.5 mel frames).
+computes the full stack on the window, and DMAs the center ``tile*U``
+samples to the HBM output (the output lives in ANY/HBM: a (1, tile*U)
+VMEM output block would violate the (8, 128) block-tiling rule for
+B > 1, and value-level dynamic_slice has no TPU lowering — ref-level
+pl.ds on the DMA source does). Halo of 4 frames covers the end-to-end
+receptive field (~2.5 mel frames).
+
+Weights may be tracers: call ``fused_vocoder_forward`` inside a jitted
+graph with packed weights derived from the params argument
+(pack_vocoder_weights is trace-friendly). A closure over concrete
+weights embeds multi-MB constants into the compiled module — slow, and
+it breaks remote-compile setups.
 
 Equivalence to the XLA vocoder module is asserted in
 tests/test_pallas_vocoder.py (interpret mode on CPU; compiled on TPU).
@@ -27,60 +52,123 @@ tests/test_pallas_vocoder.py (interpret mode on CPU; compiled on TPU).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 32
+DEFAULT_TILE = 16
 DEFAULT_HALO = 4
+LANE = 128
 
 
-def _flatten_packed(packed: Dict) -> List[np.ndarray]:
-    """Packed weights → flat list in the kernel's argument order. tconv
-    biases are pre-tiled to [r*Cout] so they add before the phase merge."""
-    flat = [packed["input_conv"]["w"], packed["input_conv"]["b"]]
-    for st in packed["stages"]:
-        t = st["tconv"]
-        flat += [t["w"], np.tile(t["b"], t["rate"]),
-                 st["res1"]["w"], st["res1"]["b"],
-                 st["res2"]["w"], st["res2"]["b"]]
-    flat += [packed["output_conv"]["w"], packed["output_conv"]["b"]]
-    return [np.asarray(a, np.float32) for a in flat]
+def _pad_to_lane(c: int) -> int:
+    return -(-c // LANE) * LANE
 
 
-def _shifted3(x: Array) -> Array:
-    """[N, C] → [N, 3C] = [x_{t-1}; x_t; x_{t+1}] with zero boundaries."""
-    z = jnp.zeros((1, x.shape[1]), x.dtype)
-    up = jnp.concatenate([z, x[:-1]], axis=0)
-    dn = jnp.concatenate([x[1:], z], axis=0)
-    return jnp.concatenate([up, x, dn], axis=1)
+def _pad_conv3(w: Array, b: Array, cin: int, cout: int) -> Tuple[Array, Array]:
+    """[3*cin, cout] block weight → [3*P(cin), P(cout)] with zero padding."""
+    pi, po = _pad_to_lane(cin), _pad_to_lane(cout)
+    wp = jnp.zeros((3 * pi, po), jnp.float32)
+    for blk in range(3):
+        wp = wp.at[blk * pi:blk * pi + cin, :cout].set(
+            w[blk * cin:(blk + 1) * cin])
+    bp = jnp.zeros((po,), jnp.float32).at[:cout].set(b)
+    return wp, bp
 
 
-def _mm(x3: Array, w, b) -> Array:
-    return jnp.dot(x3, w[:], preferred_element_type=jnp.float32) + b[:]
+def _pad_tconv(w: Array, b: Array, rate: int, cin: int, cout: int
+               ) -> Tuple[Array, Array]:
+    """[3*cin, r*cout] sub-pixel weight → [3*P(cin), r*P(cout)]; bias is
+    pre-tiled per phase so it adds before the phase merge."""
+    pi, po = _pad_to_lane(cin), _pad_to_lane(cout)
+    wp = jnp.zeros((3 * pi, rate * po), jnp.float32)
+    for blk in range(3):
+        for j in range(rate):
+            wp = wp.at[blk * pi:blk * pi + cin,
+                       j * po:j * po + cout].set(
+                w[blk * cin:(blk + 1) * cin, j * cout:(j + 1) * cout])
+    bp = jnp.zeros((rate * po,), jnp.float32)
+    for j in range(rate):
+        bp = bp.at[j * po:j * po + cout].set(b[j * cout:(j + 1) * cout])
+    return wp, bp
 
 
-def build_fused_vocoder(packed: Dict, rates: Sequence[int],
-                        tile: int = DEFAULT_TILE, halo: int = DEFAULT_HALO,
-                        interpret: bool = False):
-    """Returns fn(mel [B, T, C]) → audio [B, T*U]; T % tile == 0, T ≥ win."""
+def _flatten_padded(packed: Dict, rates: Sequence[int]
+                    ) -> Tuple[List[Array], int]:
+    """Packed weights → lane-padded flat list in kernel argument order.
+
+    Returns (flat, C_mel_pad). jnp ops with static indices only, so it
+    runs on tracers inside jit.
+    """
+    iw, ib = packed["input_conv"]["w"], packed["input_conv"]["b"]
+    c_mel = iw.shape[0] // 3
+    c0 = iw.shape[1]
+    flat = list(_pad_conv3(iw, ib, c_mel, c0))
+    cin = c0
+    for r, st in zip(rates, packed["stages"]):
+        cout = st["tconv"]["cout"]
+        flat += _pad_tconv(st["tconv"]["w"], jnp.tile(st["tconv"]["b"], r),
+                           r, cin, cout)
+        flat += _pad_conv3(st["res1"]["w"], st["res1"]["b"], cout, cout)
+        flat += _pad_conv3(st["res2"]["w"], st["res2"]["b"], cout, cout)
+        cin = cout
+    ow, ob = packed["output_conv"]["w"], packed["output_conv"]["b"]
+    flat += _pad_conv3(ow, ob, cin, ow.shape[1])
+    return [jnp.asarray(a, jnp.float32) for a in flat], _pad_to_lane(c_mel)
+
+
+def _shift_up(x: Array) -> Array:
+    """x_{t-1} with zero top row."""
+    return jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype), x[:-1]], 0)
+
+
+def _shift_dn(x: Array) -> Array:
+    """x_{t+1} with zero bottom row."""
+    return jnp.concatenate([x[1:], jnp.zeros((1, x.shape[1]), x.dtype)], 0)
+
+
+def _mm3(x: Array, w, b) -> Array:
+    """k=3 conv as shift-accumulate: w rows are [up; center; down] blocks."""
+    p = x.shape[1]
+    acc = jnp.dot(x, w[p:2 * p], preferred_element_type=jnp.float32)
+    acc += jnp.dot(_shift_up(x), w[0:p], preferred_element_type=jnp.float32)
+    acc += jnp.dot(_shift_dn(x), w[2 * p:3 * p],
+                   preferred_element_type=jnp.float32)
+    return acc + b[:]
+
+
+def fused_vocoder_forward(mel: Array, packed: Dict, rates: Sequence[int],
+                          tile: int = DEFAULT_TILE, halo: int = DEFAULT_HALO,
+                          interpret: bool = False) -> Array:
+    """mel [B, T, C] → audio [B, T*U]; T % tile == 0, T ≥ tile + 2*halo."""
     rates = tuple(rates)
     U = 1
     for r in rates:
         U *= r
+    # The audio staging buffer is a 1-D VMEM ref, which Mosaic tiles in
+    # 1024-element chunks; the DMA source offset (q*tile - start) * U ∈
+    # {0, halo*U, 2*halo*U} must be PROVABLY divisible by 1024, so bump
+    # halo until halo*U is a 1024-multiple and emit the offset as
+    # (d / halo) * (halo*U). Larger halo only adds overcompute, never
+    # changes results (the clamp trick is exact for any halo ≥ the
+    # receptive field). Interpret mode has no such constraint — keep the
+    # requested halo there so small test shapes stay valid.
+    import math
+
+    if not interpret:
+        halo = max(halo, 1024 // math.gcd(U, 1024))
     win = tile + 2 * halo
-    flat_weights = _flatten_packed(packed)
+    flat_weights, C_pad = _flatten_padded(packed, rates)
     n_w = len(flat_weights)
 
     def kernel(mel_hbm, *refs):
         w_refs = refs[:n_w]
         out_ref = refs[n_w]
-        win_buf, sem = refs[n_w + 1], refs[n_w + 2]
+        win_buf, audio_buf, sem, out_sem = refs[n_w + 1:n_w + 5]
 
         b = pl.program_id(0)
         q = pl.program_id(1)
@@ -101,44 +189,67 @@ def build_fused_vocoder(packed: Dict, rates: Sequence[int],
             return pair
 
         w, bias = take()
-        x = _mm(_shifted3(x), w, bias)  # input conv
+        x = _mm3(x, w, bias)  # input conv
         for r in rates:
             tw, tb = take()
-            y = _mm(_shifted3(x), tw, tb)          # [N, r*Cout]
-            n, rc = y.shape
-            y = y.reshape(n * r, rc // r)          # phase merge
+            y = _mm3(x, tw, tb)                    # [N, r*P]
+            n, rp = y.shape
+            y = y.reshape(n * r, rp // r)          # phase merge, P lanes
             y = jnp.where(y >= 0, y, 0.1 * y)      # leaky_relu(0.1)
             r1w, r1b = take()
-            h = _mm(_shifted3(y), r1w, r1b)
+            h = _mm3(y, r1w, r1b)
             h = jnp.where(h >= 0, h, 0.1 * h)
             r2w, r2b = take()
-            x = y + _mm(_shifted3(h), r2w, r2b)
+            x = y + _mm3(h, r2w, r2b)
         ow, ob = take()
-        audio = jnp.tanh(_mm(_shifted3(x), ow, ob))[:, 0]  # [win*U]
+        audio = jnp.tanh(_mm3(x, ow, ob))[:, 0]    # [win*U]
 
-        off = (q * tile - start) * U
-        out_ref[0, :] = jax.lax.dynamic_slice(audio, (off,), (tile * U,))
+        # stage in VMEM, then DMA the center tile*U samples to HBM; the
+        # output is kept 1-D so source and target tilings match (Mosaic
+        # cannot DMA between 1-D and 2-D tilings)
+        audio_buf[:] = audio
+        off = ((q * tile - start) // halo) * (halo * U)
+        T_U = mel_hbm.shape[1] * U
+        out_dma = pltpu.make_async_copy(
+            audio_buf.at[pl.ds(off, tile * U)],
+            out_ref.at[pl.ds(b * T_U + q * (tile * U), tile * U)], out_sem)
+        out_dma.start()
+        out_dma.wait()
 
-    def fn(mel: Array) -> Array:
-        B, T, C = mel.shape
-        if T % tile or T < win:
-            raise ValueError(f"T={T} must be a multiple of tile={tile} and >= {win}")
-        grid = (B, T // tile)
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
-        out_spec = pl.BlockSpec((1, tile * U), lambda b, q: (b, q),
-                                memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((B, T * U), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((win, C), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            interpret=interpret,
-        )(mel, *[jnp.asarray(w) for w in flat_weights])
+    B, T, C = mel.shape
+    if T % tile or T < win:
+        raise ValueError(f"T={T} must be a multiple of tile={tile} and >= {win}")
+    if C != C_pad:
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, C_pad - C)))
+    grid = (B, T // tile)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
+    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    audio_flat = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B * T * U,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win, C_pad), jnp.float32),
+            pltpu.VMEM((win * U,), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(mel, *flat_weights)
+    return audio_flat.reshape(B, T * U)
 
-    return fn
+
+def build_fused_vocoder(packed: Dict, rates: Sequence[int],
+                        tile: int = DEFAULT_TILE, halo: int = DEFAULT_HALO,
+                        interpret: bool = False):
+    """fn(mel) closure over pre-packed weights (tests / eager use).
+
+    For jitted serving graphs prefer calling ``fused_vocoder_forward``
+    with packed weights derived inside the trace — a closure built from
+    concrete arrays embeds them as compile-time constants.
+    """
+    return partial(fused_vocoder_forward, packed=packed, rates=tuple(rates),
+                   tile=tile, halo=halo, interpret=interpret)

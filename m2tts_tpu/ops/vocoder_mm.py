@@ -29,39 +29,48 @@ import numpy as np
 from jax import Array
 
 
-def pack_conv3(kernel: np.ndarray, bias: np.ndarray) -> Dict[str, np.ndarray]:
+def pack_conv3(kernel, bias) -> Dict[str, Array]:
     """flax Conv kernel [3, Cin, Cout] → rows [x_{t-1}; x_t; x_{t+1}]."""
     k, cin, cout = kernel.shape
     assert k == 3
-    return {"w": np.asarray(kernel, np.float32).reshape(3 * cin, cout),
-            "b": np.asarray(bias, np.float32)}
+    return {"w": jnp.asarray(kernel, jnp.float32).reshape(3 * cin, cout),
+            "b": jnp.asarray(bias, jnp.float32)}
 
 
-def pack_tconv(kernel: np.ndarray, bias: np.ndarray, rate: int
-               ) -> Dict[str, np.ndarray]:
-    """(in, out, 2r) tconv kernel → [3*Cin, r*Cout] sub-pixel matrix."""
+def pack_tconv(kernel, bias, rate: int) -> Dict[str, Array]:
+    """(in, out, 2r) tconv kernel → [3*Cin, r*Cout] sub-pixel matrix.
+
+    jnp ops with static indices throughout, so packing can run INSIDE a
+    jitted graph with the model params as arguments — packing at trace
+    time would bake multi-MB weight constants into every compiled
+    serving bucket (and constant-heavy modules break some remote-compile
+    setups for Pallas kernels).
+    """
     cin, cout, k = kernel.shape
     assert k == 2 * rate
     half = rate // 2
-    W = np.zeros((3 * cin, rate * cout), np.float32)
+    kernel = jnp.asarray(kernel, jnp.float32)
+    W = jnp.zeros((3 * cin, rate * cout), jnp.float32)
     for j in range(rate):
         for block, delta in ((0, -1), (1, 0), (2, 1)):
             m = -delta * rate + j + half
             if 0 <= m < k:
-                W[block * cin: (block + 1) * cin,
-                  j * cout: (j + 1) * cout] = kernel[:, :, m]
-    return {"w": W, "b": np.asarray(bias, np.float32), "rate": rate,
+                W = W.at[block * cin: (block + 1) * cin,
+                         j * cout: (j + 1) * cout].set(kernel[:, :, m])
+    return {"w": W, "b": jnp.asarray(bias, jnp.float32), "rate": rate,
             "cout": cout}
 
 
 def pack_vocoder_weights(vocoder_params: Dict, rates: Sequence[int]
                          ) -> Dict[str, Dict]:
-    """flax Vocoder param subtree → packed matmul-form weights."""
+    """flax Vocoder param subtree → packed matmul-form weights.
+
+    Works on concrete arrays (eager, tests) and on tracers (inside jit).
+    """
     p = vocoder_params
 
     def conv(tree):
-        return pack_conv3(np.asarray(tree["conv"]["kernel"]),
-                          np.asarray(tree["conv"]["bias"]))
+        return pack_conv3(tree["conv"]["kernel"], tree["conv"]["bias"])
 
     packed: Dict[str, Dict] = {
         "input_conv": conv(p["input_conv"]),
@@ -72,8 +81,7 @@ def pack_vocoder_weights(vocoder_params: Dict, rates: Sequence[int]
         up = p[f"upsample{i}"]
         res = p[f"resblock{i}"]
         packed["stages"].append({
-            "tconv": pack_tconv(np.asarray(up["kernel"]),
-                                np.asarray(up["bias"]), r),
+            "tconv": pack_tconv(up["kernel"], up["bias"], r),
             "res1": conv(res["conv1"]),
             "res2": conv(res["conv2"]),
         })

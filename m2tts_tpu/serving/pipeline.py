@@ -26,8 +26,10 @@ from m2tts_tpu.frontend.text import TextProcessor
 from m2tts_tpu.models import M2TTS, build_model
 from m2tts_tpu.utils.config import Config
 
+_PALLAS_OK: Optional[bool] = None  # cached Mosaic-compile probe result
+
 DEFAULT_TEXT_BUCKETS = (32, 64, 128, 256)
-DEFAULT_FRAME_BUCKETS = (128, 256, 512, 1000)
+DEFAULT_FRAME_BUCKETS = (128, 256, 512, 1024)  # multiples of the pallas tile
 DEFAULT_BATCH_BUCKETS = (1, 4, 8, 16, 32)
 
 
@@ -63,26 +65,74 @@ class Synthesizer:
         for r in model.upsample_rates:
             self.upsample *= r
 
-        if vocoder_backend not in ("xla", "mm", "pallas"):
+        if vocoder_backend not in ("xla", "mm", "pallas", "auto"):
             raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
+        if vocoder_backend == "auto":
+            # prefer the fused Pallas kernel where Mosaic compilation is
+            # available; otherwise the matmul-form vocoder (plain XLA,
+            # fastest measured fallback on tunneled-TPU hosts)
+            vocoder_backend = ("pallas" if self._pallas_available()
+                               else "mm")
         self.vocoder_backend = vocoder_backend
+        # _vocoder_fn(params, mel) packs the weights INSIDE the traced
+        # graph so they reach the kernel as arguments; a closure over
+        # concrete weights would embed ~5 MB of constants into every
+        # compiled bucket (slow compiles; breaks remote Mosaic compile).
         self._vocoder_fn = None
         if vocoder_backend != "xla":
             from m2tts_tpu.ops.vocoder_mm import (
                 pack_vocoder_weights, vocoder_mm_forward)
 
-            packed = pack_vocoder_weights(
-                params["params"]["vocoder"], model.upsample_rates)
+            rates = model.upsample_rates
             if vocoder_backend == "mm":
-                self._vocoder_fn = lambda mel: vocoder_mm_forward(mel, packed)
+                def _vf(p, mel):
+                    packed = pack_vocoder_weights(p["params"]["vocoder"],
+                                                  rates)
+                    return vocoder_mm_forward(mel, packed)
             else:
-                from m2tts_tpu.ops.pallas.vocoder import build_fused_vocoder
+                from m2tts_tpu.ops.pallas.vocoder import (
+                    fused_vocoder_forward)
 
-                self._vocoder_fn = build_fused_vocoder(
-                    packed, model.upsample_rates)
+                interpret = jax.default_backend() != "tpu"
+
+                def _vf(p, mel):
+                    packed = pack_vocoder_weights(p["params"]["vocoder"],
+                                                  rates)
+                    return fused_vocoder_forward(mel, packed, rates,
+                                                 interpret=interpret)
+            self._vocoder_fn = _vf
 
         self._synth = {}  # max_frames -> compiled fn
         self._probe = None  # lazily compiled duration probe
+
+    @staticmethod
+    def _pallas_available() -> bool:
+        """True when Mosaic kernels can actually compile on this backend.
+
+        Needs a TPU backend AND a working Mosaic compile path — some
+        remote/tunneled TPU setups proxy compilation through a helper
+        that cannot compile custom kernels. Probed once with a trivial
+        kernel and cached.
+        """
+        global _PALLAS_OK
+        if _PALLAS_OK is None:
+            if jax.default_backend() != "tpu":
+                _PALLAS_OK = False
+            else:
+                try:
+                    from jax.experimental import pallas as pl
+
+                    def k(x_ref, o_ref):
+                        o_ref[...] = x_ref[...] + 1.0
+
+                    x = jnp.zeros((8, 128), jnp.float32)
+                    jax.block_until_ready(pl.pallas_call(
+                        k, out_shape=jax.ShapeDtypeStruct((8, 128),
+                                                          jnp.float32))(x))
+                    _PALLAS_OK = True
+                except Exception:
+                    _PALLAS_OK = False
+        return _PALLAS_OK
 
     # -- jitted graphs ------------------------------------------------------
     def _get_probe(self):
@@ -121,7 +171,7 @@ class Synthesizer:
                     out = model.apply(p, ids, lengths, duration_scale=scale,
                                       max_frames=max_frames,
                                       method=model.acoustic)
-                    audio = vocoder_fn(out["mel_output"])
+                    audio = vocoder_fn(p, out["mel_output"])
                 pcm = jnp.clip(audio, -1.0, 1.0) * 32767.0
                 result = {"pcm": pcm.astype(jnp.int16),
                           "total_frames": out["total_frames"]}
@@ -170,9 +220,14 @@ class Synthesizer:
 
     def _collect(self, out, max_frames: int, n: int, want_mel: bool
                  ) -> List[Dict[str, np.ndarray]]:
-        pcm = np.asarray(out["pcm"])  # [B, samples] int16
-        totals = np.asarray(out["total_frames"])
-        mel = np.asarray(out["mel"]) if want_mel else None
+        # one device_get for the whole output dict: the fetches run
+        # concurrently under a single sync, instead of paying one
+        # host↔device round trip per array (which dominates latency on
+        # PCIe/tunnel hosts)
+        host = jax.device_get(out)
+        pcm = host["pcm"]  # [B, samples] int16
+        totals = host["total_frames"]
+        mel = host["mel"] if want_mel else None
         results = []
         for i in range(n):
             frames = int(min(totals[i], max_frames))
@@ -240,7 +295,8 @@ def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:
         rng = jax.random.PRNGKey(0)
     ids = jnp.zeros((1, 16), jnp.int32)
     lengths = jnp.array([16], jnp.int32)
-    params = model.init(rng, ids, lengths, max_frames=64, run_vocoder=True)
+    from m2tts_tpu.models import init_params
+    params = init_params(model, rng, ids, lengths, max_frames=64, run_vocoder=True)
     return Synthesizer(model, params,
                        sample_rate=int(config.get("data.sample_rate", 22050)),
                        hop_length=int(config.get("data.hop_length", 256)),

@@ -33,13 +33,14 @@ from flax.training import train_state
 
 from m2tts_tpu.data.dataset import DummyDataset, TTSDataset, data_iterator, make_batches
 from m2tts_tpu.frontend.audio import AudioProcessor
-from m2tts_tpu.models import build_model
+from m2tts_tpu.models import build_model, init_params
 from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
 from m2tts_tpu.training.losses import stage1_losses
 from m2tts_tpu.utils.checkpoint import CheckpointManager
 from m2tts_tpu.utils.config import Config
 from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor, get_device_info
 from m2tts_tpu.utils.metrics_logger import MetricsLogger
+from m2tts_tpu.utils.profiling import StepProfiler
 
 logger = logging.getLogger(__name__)
 
@@ -134,8 +135,8 @@ class Stage1Trainer:
         # init params + optimizer
         rng = jax.random.PRNGKey(self.seed)
         dummy_ids = jnp.zeros((1, 8), jnp.int32)
-        variables = self.model.init(rng, dummy_ids, max_frames=16,
-                                    run_vocoder=True)
+        variables = init_params(self.model, rng, dummy_ids, max_frames=16,
+                                 run_vocoder=True)
         self.tx = make_optimizer(tcfg)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
@@ -152,6 +153,7 @@ class Stage1Trainer:
         self.memory = MemoryTracker()
         self.thermal = ThermalMonitor(
             threshold_c=float(config.get("system.thermal_threshold", 80.0)))
+        self.profiler = StepProfiler.from_config(config)
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -225,7 +227,9 @@ class Stage1Trainer:
                 batch = self._put(next(it))
                 rng = jax.random.fold_in(self.base_rng, self.step)
                 try:
-                    self.state, losses = self._train_step(self.state, batch, rng)
+                    with self.profiler.step(self.step):
+                        self.state, losses = self._train_step(self.state, batch,
+                                                              rng)
                 except jax.errors.JaxRuntimeError as e:  # OOM guard
                     if "RESOURCE_EXHAUSTED" in str(e):
                         logger.error("OOM at step %d; clearing caches", self.step)
@@ -252,6 +256,7 @@ class Stage1Trainer:
         except KeyboardInterrupt:  # graceful final checkpoint
             logger.info("Interrupted at step %d — saving checkpoint", self.step)
         finally:
+            self.profiler.close()
             self.save_checkpoint()
             self.metrics.close()
         return last

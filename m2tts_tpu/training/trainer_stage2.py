@@ -39,7 +39,7 @@ import optax
 from flax.training import train_state
 
 from m2tts_tpu.data.dataset import data_iterator, make_batches
-from m2tts_tpu.models import build_model
+from m2tts_tpu.models import build_model, init_params
 from m2tts_tpu.models.discriminator import MultiScaleDiscriminator
 from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
 from m2tts_tpu.training import losses as L
@@ -49,6 +49,7 @@ from m2tts_tpu.utils.checkpoint import CheckpointManager
 from m2tts_tpu.utils.config import Config
 from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor
 from m2tts_tpu.utils.metrics_logger import MetricsLogger
+from m2tts_tpu.utils.profiling import StepProfiler
 
 logger = logging.getLogger(__name__)
 
@@ -127,10 +128,10 @@ class Stage2Trainer:
 
         # init models
         rng = jax.random.PRNGKey(self.seed)
-        g_vars = self.model.init(rng, jnp.zeros((1, 8), jnp.int32),
-                                 max_frames=16, run_vocoder=True)
-        d_vars = self.discriminator.init(
-            rng, jnp.zeros((1, self.seg_frames * self.upsample, 1)))
+        g_vars = init_params(self.model, rng, jnp.zeros((1, 8), jnp.int32),
+                             max_frames=16, run_vocoder=True)
+        d_vars = init_params(self.discriminator, rng,
+                             jnp.zeros((1, self.seg_frames * self.upsample, 1)))
 
         def tx(cfg):
             return optax.chain(
@@ -156,6 +157,7 @@ class Stage2Trainer:
             backend=config.get("system.log_metrics", "csv"))
         self.memory = MemoryTracker()
         self.thermal = ThermalMonitor()
+        self.profiler = StepProfiler.from_config(config)
         self.early_stopping = EarlyStopping(
             patience=int(tcfg.get("patience", 10000)),
             min_delta=float(tcfg.get("min_delta", 0.001)))
@@ -280,7 +282,8 @@ class Stage2Trainer:
             while self.step < self.max_steps:
                 if not self.thermal.check():
                     self.thermal.wait_for_cooldown()
-                metrics = self.train_step(next(it))
+                with self.profiler.step(self.step):
+                    metrics = self.train_step(next(it))
                 if self.step % self.log_every == 0:
                     now = time.perf_counter()
                     metrics["steps_per_sec"] = self.log_every / (now - t_last)
@@ -302,6 +305,7 @@ class Stage2Trainer:
         except KeyboardInterrupt:
             logger.info("Interrupted at step %d — saving", self.step)
         finally:
+            self.profiler.close()
             self.save_checkpoint()
             self.metrics.close()
         return last

@@ -33,15 +33,9 @@ def test_mm_backend_matches_xla(model_and_params):
         np.testing.assert_allclose(r["audio"], m["audio"], atol=3e-4)
 
 
-def test_pallas_backend_matches_xla_interpret(model_and_params, monkeypatch):
-    """Pallas backend in interpret mode (CPU) must match the XLA module."""
-    from m2tts_tpu.ops.pallas import vocoder as pv
-
-    orig = pv.build_fused_vocoder
-    monkeypatch.setattr(
-        pv, "build_fused_vocoder",
-        lambda packed, rates, **kw: orig(packed, rates, tile=16, halo=4,
-                                         interpret=True))
+def test_pallas_backend_matches_xla_interpret(model_and_params):
+    """Pallas backend off-TPU runs in interpret mode and must match the
+    XLA module (the Synthesizer selects interpret automatically)."""
     model, params = model_and_params
     ref = _synth(model, params, "xla").synthesize("hello world")
     pal = _synth(model, params, "pallas").synthesize("hello world")
