@@ -10,7 +10,12 @@ CKPT_DIR ?= outputs/checkpoints
 TEXT ?= Hello world, this is a test of the TPU text to speech system.
 
 .PHONY: help install setup test test-quick lint format train train-stage2 \
-        resume resume-stage2 download-data synthesize demo bench clean info
+        resume resume-stage2 download-data synthesize demo bench clean info \
+        native
+
+native:
+	g++ -O3 -march=native -fPIC -shared -std=c++17 \
+		native/mel_frontend.cpp -o native/libmelfrontend.so
 
 help:
 	@echo "m2tts_tpu targets:"

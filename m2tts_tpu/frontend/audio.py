@@ -311,7 +311,8 @@ class AudioProcessor:
     def __init__(self, sample_rate: int = DEFAULT_SAMPLE_RATE,
                  n_fft: int = DEFAULT_N_FFT, hop_length: int = DEFAULT_HOP,
                  win_length: int = DEFAULT_WIN, n_mels: int = DEFAULT_N_MELS,
-                 fmin: float = 0.0, fmax: Optional[float] = None):
+                 fmin: float = 0.0, fmax: Optional[float] = None,
+                 use_native: Union[str, bool] = "auto"):
         self.sample_rate = sample_rate
         self.n_fft = n_fft
         self.hop_length = hop_length
@@ -320,8 +321,30 @@ class AudioProcessor:
         self.fmin = fmin
         self.fmax = fmax if fmax is not None else sample_rate / 2.0
         self._mel_basis = mel_filterbank(sample_rate, n_fft, n_mels, fmin, self.fmax)
+        # native C++ frontend (native/mel_frontend.cpp): exact parity with
+        # the NumPy path (asserted in tests/test_native_frontend.py),
+        # ~2x faster single-thread and GIL-free for thread-pool ingest
+        self._native = None
+        if use_native in ("auto", True):
+            try:
+                from m2tts_tpu.frontend import native as _native
+
+                if _native.native_available():
+                    self._native = _native
+                elif use_native is True:
+                    raise RuntimeError("native frontend requested but unavailable")
+            except ImportError:
+                if use_native is True:
+                    raise
 
     def compute_mel(self, audio: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            try:
+                return self._native.compute_mel_native(
+                    audio, self.sample_rate, self.n_fft, self.hop_length,
+                    self.win_length, self.n_mels, self.fmin, self.fmax)
+            except (ValueError, RuntimeError):
+                pass  # too-short/odd shapes → NumPy path below
         spec = np.abs(stft(audio, self.n_fft, self.hop_length, self.win_length)) ** 2.0
         mel_db = power_to_db(self._mel_basis @ spec)
         lo, hi = mel_db.min(), mel_db.max()
