@@ -102,6 +102,9 @@ def main():
     single_elapsed = time.perf_counter() - t0
     rtf = single_elapsed / max(single_audio, 1e-9)
 
+    # ---- stage-1 training throughput (flagship model, batch 32) ----
+    train_steps_per_sec = _bench_training()
+
     reference_target_audio_per_sec = 2.0  # RTF<0.5 target on M2
     result = {
         "metric": "batched_synthesis_throughput",
@@ -113,11 +116,61 @@ def main():
         "batch": BATCH,
         "frame_bucket": FRAME_BUCKET,
         "params": count_parameters(params),
+        "vocoder_backend": synth.vocoder_backend,
+        "train_steps_per_sec": train_steps_per_sec,
+        "train_vs_reference_m2max": (round(train_steps_per_sec / 2.0, 1)
+                                     if train_steps_per_sec else None),
         "device": str(jax.devices()[0]),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
     return 0
+
+
+def _bench_training(n_steps: int = 20):
+    """Stage-1 steps/sec at flagship scale, batch 32 (reference projects
+    0.5-2 steps/sec on Apple M2, README.md:48-49). Data-free (DummyDataset)
+    so only device step time is measured. Returns None on failure rather
+    than sinking the serving benchmark."""
+    import time
+
+    import numpy as np
+
+    try:
+        from m2tts_tpu.data.dataset import DummyDataset, data_iterator
+        from m2tts_tpu.training.trainer import Stage1Trainer
+        from m2tts_tpu.utils.config import load_config
+
+        cfg = load_config(Path(__file__).parent / "configs/flagship_tpu.yaml")
+        cfg.set("training.save_every", 10**9)
+        cfg.set("training.validate_every", 10**9)
+        cfg.set("paths.checkpoint_dir", "/tmp/bench_train_ckpt")
+        n_mels = int(cfg.get("model.decoder.mel_channels", 80))
+        ds = DummyDataset(size=128, mel_dim=n_mels, max_text_length=96,
+                          max_mel_length=480, seed=0)
+        trainer = Stage1Trainer(cfg, dataset=ds)
+        buckets = [(128, 512)]
+        it = data_iterator(ds, trainer.batch_size, buckets, seed=0)
+        import jax
+
+        def step(batch):
+            b = trainer._put(batch)
+            rng = jax.random.fold_in(trainer.base_rng, trainer.step)
+            trainer.state, losses = trainer._train_step(trainer.state, b, rng)
+            return losses
+
+        losses = step(next(it))  # compile
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            losses = step(next(it))
+        jax.block_until_ready(losses)
+        sps = n_steps / (time.perf_counter() - t0)
+        assert all(np.isfinite(float(v)) for v in losses.values())
+        return round(sps, 2)
+    except Exception as e:  # pragma: no cover - benchmark resilience
+        print(f"training bench skipped: {e}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":

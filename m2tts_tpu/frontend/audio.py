@@ -300,6 +300,37 @@ def mel_to_audio(mel: np.ndarray,
     return audio.astype(np.float32)
 
 
+def validate_audio_params(sample_rate: int, n_fft: int, hop_length: int,
+                          win_length: int, n_mels: int, fmin: float = 0.0,
+                          fmax: Optional[float] = None) -> None:
+    """Raise on inconsistent DSP parameters; warn on suspicious ones.
+
+    The reference ships validate_audio_config (reference
+    src/utils/audio.py:260-286) but never calls it and it silently CLAMPS
+    values to Apple-M2 limits; here invalid combinations fail loudly at
+    construction time instead (AudioProcessor calls this), and there are
+    no hardware clamps.
+    """
+    import warnings
+
+    if n_fft <= 0 or (n_fft & (n_fft - 1)) != 0:
+        raise ValueError(f"n_fft must be a positive power of two, got {n_fft}")
+    if not (0 < hop_length <= n_fft):
+        raise ValueError(f"hop_length must be in (0, n_fft], got {hop_length}")
+    if not (0 < win_length <= n_fft):
+        raise ValueError(f"win_length must be in (0, n_fft], got {win_length}")
+    if not (0 < n_mels <= 1 + n_fft // 2):
+        raise ValueError(f"n_mels must be in (0, 1+n_fft/2], got {n_mels}")
+    eff_fmax = fmax if fmax is not None else sample_rate / 2.0
+    if not (0.0 <= fmin < eff_fmax):
+        raise ValueError(f"need 0 <= fmin < fmax, got fmin={fmin} fmax={eff_fmax}")
+    if eff_fmax > sample_rate / 2.0:
+        raise ValueError(f"fmax {eff_fmax} exceeds Nyquist {sample_rate / 2.0}")
+    if hop_length > win_length:
+        warnings.warn(f"hop_length {hop_length} > win_length {win_length}: "
+                      "frames will not overlap", stacklevel=2)
+
+
 class AudioProcessor:
     """OO façade bundling the DSP pipeline with fixed parameters.
 
@@ -313,6 +344,8 @@ class AudioProcessor:
                  win_length: int = DEFAULT_WIN, n_mels: int = DEFAULT_N_MELS,
                  fmin: float = 0.0, fmax: Optional[float] = None,
                  use_native: Union[str, bool] = "auto"):
+        validate_audio_params(sample_rate, n_fft, hop_length, win_length,
+                              n_mels, fmin, fmax)
         self.sample_rate = sample_rate
         self.n_fft = n_fft
         self.hop_length = hop_length

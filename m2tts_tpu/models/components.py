@@ -134,9 +134,16 @@ class Conv1d(nn.Module):
     groups: int = 1
     stride: int = 1
     use_bias: bool = True
+    spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.spectral_norm:
+            # identical param paths ("conv/kernel", "conv/bias")
+            return SNConv(self.features, self.kernel_size,
+                          stride=self.stride, dilation=self.dilation,
+                          groups=self.groups, use_bias=self.use_bias,
+                          name="conv")(x)
         pad = (self.kernel_size - 1) * self.dilation // 2
         return nn.Conv(
             self.features, (self.kernel_size,), strides=(self.stride,),
@@ -255,3 +262,70 @@ class LightweightResBlock(nn.Module):
         h = nn.leaky_relu(h, negative_slope=0.1)
         h = Conv1d(self.channels, self.kernel_size, name="conv2")(h)
         return x + h
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalization + functional gradient clipping + weight init table
+# (reference components.py:244-286; apply_spectral_norm and GradientClipping
+# exist there but are never invoked — here they are actually usable)
+# ---------------------------------------------------------------------------
+
+def spectral_normalize(w: Array, n_iter: int = 3) -> Array:
+    """Divide ``w`` by its largest singular value (treating all leading
+    axes as the input dim), estimated by power iteration from a
+    deterministic start — stateless, so it stays jit-pure inside a
+    compiled train step (no mutable power-iteration buffers)."""
+    mat = w.reshape(-1, w.shape[-1])
+    v = jnp.full((mat.shape[1],), 1.0 / math.sqrt(mat.shape[1]), mat.dtype)
+    u = mat @ v
+    for _ in range(n_iter):
+        u = mat @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        v = mat.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+    sigma = u @ (mat @ v)
+    return w / (sigma + 1e-12)
+
+
+class SNConv(nn.Module):
+    """nn.Conv-compatible 1D conv whose kernel is spectrally normalized at
+    every application. Param paths match nn.Conv ("kernel"/"bias") so the
+    flag can be toggled without re-templating checkpoints."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    sn_iters: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k_shape = (self.kernel_size, x.shape[-1] // self.groups, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            k_shape)
+        kernel = spectral_normalize(kernel, self.sn_iters)
+        pad = (self.kernel_size - 1) * self.dilation // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(self.stride,),
+            padding=[(pad, pad)], rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Functional global-norm gradient clipping → (clipped, global_norm).
+
+    The trainers use the optax equivalent inside their optimizer chains;
+    this standalone form serves custom loops (reference GradientClipping,
+    components.py:251-259, which the reference trainers also bypassed).
+    """
+    leaves = jax.tree_util.tree_leaves(grads)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-12))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm

@@ -29,7 +29,14 @@ _LAYERS = (
 
 
 class ScaleDiscriminator(nn.Module):
-    """Single-scale conv stack → (logits, feature maps)."""
+    """Single-scale conv stack → (logits, feature maps).
+
+    ``spectral_norm`` stabilizes GAN training by bounding each conv's
+    Lipschitz constant (the reference ships an apply_spectral_norm helper
+    it never calls, reference components.py:244-248; here it is wired).
+    """
+
+    spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
@@ -37,10 +44,12 @@ class ScaleDiscriminator(nn.Module):
         h = x
         for i, (ch, k, s, g) in enumerate(_LAYERS):
             h = Conv1d(ch, kernel_size=k, stride=s, groups=g,
+                       spectral_norm=self.spectral_norm,
                        name=f"conv{i}")(h)
             features.append(h)  # pre-activation, as the reference collects
             h = nn.leaky_relu(h, negative_slope=0.2)
-        logits = Conv1d(1, kernel_size=3, name="conv_out")(h)
+        logits = Conv1d(1, kernel_size=3, spectral_norm=self.spectral_norm,
+                        name="conv_out")(h)
         return logits, features
 
 
@@ -56,6 +65,7 @@ class MultiScaleDiscriminator(nn.Module):
     """3 discriminators over progressively downsampled audio."""
 
     scales: Sequence[int] = (1, 2, 4)
+    spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, audio: Array) -> Tuple[List[Array], List[List[Array]]]:
@@ -65,7 +75,8 @@ class MultiScaleDiscriminator(nn.Module):
         logits, feature_maps = [], []
         for i, scale in enumerate(self.scales):
             x = _avg_pool1d(audio, scale) if scale > 1 else audio
-            out, feats = ScaleDiscriminator(name=f"scale{i}")(x)
+            out, feats = ScaleDiscriminator(spectral_norm=self.spectral_norm,
+                                            name=f"scale{i}")(x)
             logits.append(out)
             feature_maps.append(feats)
         return logits, feature_maps

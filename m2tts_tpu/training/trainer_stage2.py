@@ -112,7 +112,8 @@ class Stage2Trainer:
 
         self.mesh = mesh or make_mesh(int(config.get("system.mesh.data", -1)))
         self.model = build_model(config.get("model", Config()))
-        self.discriminator = MultiScaleDiscriminator()
+        self.discriminator = MultiScaleDiscriminator(
+            spectral_norm=bool(tcfg.get("discriminator_spectral_norm", False)))
         self.upsample = 1
         for r in self.model.upsample_rates:
             self.upsample *= r
