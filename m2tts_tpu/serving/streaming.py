@@ -38,7 +38,13 @@ class StreamingVocoder:
     """Chunked mel→waveform streaming over a shared compiled vocoder."""
 
     def __init__(self, model: M2TTS, params, chunk_frames: int = 64,
-                 halo_frames: int = DEFAULT_HALO_FRAMES):
+                 halo_frames: int = DEFAULT_HALO_FRAMES,
+                 vocoder_backend: str = "xla"):
+        """``vocoder_backend``: same three implementations as the batch
+        Synthesizer ('xla' | 'mm' | 'pallas'), all numerically identical —
+        the streaming and batch paths literally share the kernels
+        (BASELINE.json: "batched and streaming vocoder paths share the
+        same kernels")."""
         self.model = model
         self.params = params
         self.chunk_frames = chunk_frames
@@ -47,14 +53,50 @@ class StreamingVocoder:
         for r in model.upsample_rates:
             self.upsample *= r
 
+        if vocoder_backend == "pallas":
+            # the fused kernel tiles time in 16-frame blocks; widen the
+            # halo until the window is tile-aligned (extra halo is pure
+            # overcompute, never a semantics change)
+            from m2tts_tpu.ops.pallas.vocoder import DEFAULT_TILE
+
+            while (chunk_frames + 2 * self.halo) % DEFAULT_TILE:
+                self.halo += 1
         window = self.halo + chunk_frames + self.halo
+        self.vocoder_backend = vocoder_backend
+
+        if vocoder_backend == "xla":
+            def vf(p, mel):
+                return model.apply(p, mel,
+                                   method=lambda m, x: m.vocoder(x))[..., 0]
+        elif vocoder_backend in ("mm", "pallas"):
+            from m2tts_tpu.ops.vocoder_mm import (pack_vocoder_weights,
+                                                  vocoder_mm_forward)
+
+            rates = model.upsample_rates
+            if vocoder_backend == "mm":
+                def vf(p, mel):
+                    packed = pack_vocoder_weights(p["params"]["vocoder"],
+                                                  rates)
+                    return vocoder_mm_forward(mel, packed)
+            else:
+                from m2tts_tpu.ops.pallas.vocoder import (
+                    fused_vocoder_forward)
+
+                interpret = jax.default_backend() != "tpu"
+
+                def vf(p, mel):
+                    packed = pack_vocoder_weights(p["params"]["vocoder"],
+                                                  rates)
+                    return fused_vocoder_forward(mel, packed, rates,
+                                                 interpret=interpret)
+        else:
+            raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
 
         def run_chunk(params, mel_window):
             """mel_window: [B, window, C] → window audio [B, window*U].
             The variable center slice happens on the host (the last chunk's
             offset differs, and output shapes under jit must be static)."""
-            return model.apply(params, mel_window,
-                               method=lambda m, x: m.vocoder(x))[..., 0]
+            return vf(params, mel_window)
 
         self._run_chunk = jax.jit(run_chunk)
         self._window = window

@@ -136,14 +136,56 @@ class Config:
         return Config(_merge(base, over))
 
     def apply_overrides(self, overrides: List[str]) -> "Config":
-        """Apply `key.path=value` CLI overrides (values YAML-parsed)."""
+        """Apply `key.path=value` CLI overrides (values YAML-parsed).
+
+        Overrides whose key path does not already exist in the config are
+        applied but WARNED about loudly — a typo'd key (`data.train_dir`
+        for `data.data_dir`) otherwise silently no-ops and the run falls
+        back to defaults.
+        """
+        import logging
+
         cfg = self.copy()
         for item in overrides:
             key, _, raw = item.partition("=")
             if not _:
                 raise ValueError(f"Override {item!r} is not of the form key=value")
-            cfg.set(key.strip(), yaml.safe_load(raw))
+            key = key.strip()
+            if not cfg.has_path(key):
+                logging.getLogger(__name__).warning(
+                    "Override key %r does not exist in the config file — "
+                    "applying anyway, but check for a typo (known keys at "
+                    "this level: %s)", key, cfg._siblings_of(key))
+            value = yaml.safe_load(raw)
+            if isinstance(value, str):
+                # YAML 1.1 only accepts scientific notation with a dot
+                # ("3.0e-5"); a bare "3e-5" on the CLI parses as a string.
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
+            cfg.set(key, value)
         return cfg
+
+    def has_path(self, dotted: str) -> bool:
+        """True if the dotted key path exists."""
+        node: Any = self
+        for part in dotted.split("."):
+            if not isinstance(node, Config) or part not in node:
+                return False
+            node = node._data[part]
+        return True
+
+    def _siblings_of(self, dotted: str) -> List[str]:
+        """Keys at the deepest existing level of a dotted path (for the
+        typo warning)."""
+        node: Any = self
+        for part in dotted.split("."):
+            if isinstance(node, Config) and part in node:
+                node = node._data[part]
+            else:
+                break
+        return sorted(node.keys()) if isinstance(node, Config) else []
 
 
 def load_config(path: Union[str, Path], overrides: Optional[List[str]] = None) -> Config:

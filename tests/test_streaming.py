@@ -79,3 +79,21 @@ def test_streaming_synthesizer_end_to_end(model_and_params):
     assert len(audio) == len(res["audio"])
     tail = 4 * ss.vocoder.upsample
     np.testing.assert_allclose(audio[:-tail], res["audio"][:-tail], atol=2e-4)
+
+
+@pytest.mark.parametrize("backend", ["mm", "pallas"])
+def test_streaming_backends_equal_xla(model_and_params, rng, backend):
+    """All three vocoder backends must stream identical audio."""
+    model, params = model_and_params
+    mel = rng.normal(size=(100, 16)).astype(np.float32)
+    ref = StreamingVocoder(model, params, chunk_frames=32).synthesize(mel)
+    alt = StreamingVocoder(model, params, chunk_frames=32,
+                           vocoder_backend=backend).synthesize(mel)
+    assert alt.shape == ref.shape
+    np.testing.assert_allclose(alt, ref, atol=3e-4)
+
+
+def test_streaming_unknown_backend_rejected(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="vocoder_backend"):
+        StreamingVocoder(model, params, vocoder_backend="magic")
