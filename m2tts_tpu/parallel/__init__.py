@@ -5,3 +5,9 @@ from m2tts_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate_tree,
 )
+from m2tts_tpu.parallel.partition import (  # noqa: F401
+    TP_RULES,
+    partition_specs,
+    shard_tree,
+    tree_shardings,
+)

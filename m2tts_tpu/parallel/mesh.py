@@ -8,9 +8,11 @@ build a `jax.sharding.Mesh`, annotate batch arrays with
 gradient all-reduce over ICI when the jitted train step consumes sharded
 inputs and produces replicated outputs — no hand-written collectives.
 
-At ~1M generator params, data parallelism is the only axis that pays; the
-'model' axis is declared so tensor-parallel layouts can be added without a
-mesh migration.
+At ~1M generator params, data parallelism is the axis that pays; the
+'model' axis carries Megatron-style tensor-parallel parameter layouts
+(parallel/partition.py) so larger models scale without a mesh migration —
+a (d, m) mesh step is numerically identical to a (d*m, 1) step
+(tests/test_tp.py).
 """
 
 from __future__ import annotations

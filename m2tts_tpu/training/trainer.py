@@ -34,7 +34,8 @@ from flax.training import train_state
 from m2tts_tpu.data.dataset import DummyDataset, TTSDataset, data_iterator, make_batches
 from m2tts_tpu.frontend.audio import AudioProcessor
 from m2tts_tpu.models import build_model, init_params
-from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh
+from m2tts_tpu.parallel.partition import shard_tree
 from m2tts_tpu.training.losses import stage1_losses
 from m2tts_tpu.utils.checkpoint import CheckpointManager
 from m2tts_tpu.utils.config import Config
@@ -122,8 +123,17 @@ class Stage1Trainer:
         self.save_every = int(tcfg.get("save_every", 1000))
         self.validate_every = int(tcfg.get("validate_every", 500))
         self.seed = int(tcfg.get("seed", 1234))
+        # host->device transfer dtype for large float arrays (mel/audio
+        # targets): bf16 halves H2D bytes — on PCIe/tunnel hosts the
+        # train step is transfer-bound, not FLOP-bound. Loss math
+        # upcasts to f32 on device.
+        td = tcfg.get("transfer_dtype", None)
+        self.transfer_dtype = jnp.bfloat16 if td in ("bfloat16", "bf16") else (
+            jnp.float16 if td in ("float16", "fp16") else None)
 
-        self.mesh = mesh or make_mesh(int(config.get("system.mesh.data", -1)))
+        self.mesh = mesh or make_mesh(
+            int(config.get("system.mesh.data", -1)),
+            model=int(config.get("system.mesh.model", 1)))
         self.n_data = self.mesh.shape["data"]
 
         self.model = build_model(config.get("model", Config()))
@@ -140,7 +150,9 @@ class Stage1Trainer:
         self.tx = make_optimizer(tcfg)
         state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx)
-        self.state = replicate_tree(state, self.mesh)
+        # TP-aware placement: Megatron-style specs on the transformer
+        # kernels over the 'model' axis (no-op at model=1)
+        self.state = shard_tree(state, self.mesh)
         self.base_rng = jax.random.PRNGKey(self.seed + 1)
 
         out_dir = Path(config.get("paths.output_dir", "outputs/stage1"))
@@ -199,8 +211,15 @@ class Stage1Trainer:
     # -- loop -----------------------------------------------------------------
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         sharding = batch_sharding(self.mesh)
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()
-                if hasattr(v, "ndim") and v.ndim > 0}
+        out = {}
+        for k, v in batch.items():
+            if not (hasattr(v, "ndim") and v.ndim > 0):
+                continue
+            if (self.transfer_dtype is not None and k in ("mel", "audio")
+                    and v.dtype == np.float32):
+                v = v.astype(self.transfer_dtype)
+            out[k] = jax.device_put(v, sharding)
+        return out
 
     def train(self, resume: bool = False) -> Dict[str, float]:
         if resume and self.ckpt.latest_step() is not None:
@@ -209,7 +228,7 @@ class Stage1Trainer:
                         "opt_state": host_state.opt_state,
                         "step": 0}
             restored, _, step = self.ckpt.restore(state_template=template)
-            self.state = replicate_tree(
+            self.state = shard_tree(
                 self.state.replace(params=restored["params"],
                                    opt_state=restored["opt_state"],
                                    step=step), self.mesh)

@@ -41,7 +41,8 @@ from flax.training import train_state
 from m2tts_tpu.data.dataset import data_iterator, make_batches
 from m2tts_tpu.models import build_model, init_params
 from m2tts_tpu.models.discriminator import MultiScaleDiscriminator
-from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh
+from m2tts_tpu.parallel.partition import shard_tree
 from m2tts_tpu.training import losses as L
 from m2tts_tpu.training.losses import EarlyStopping
 from m2tts_tpu.training.trainer import build_dataset, make_lr_schedule
@@ -100,6 +101,9 @@ class Stage2Trainer:
         self.save_every = int(tcfg.get("save_every", 2000))
         self.validate_every = int(tcfg.get("validate_every", 1000))
         self.seed = int(tcfg.get("seed", 1234))
+        td = tcfg.get("transfer_dtype", None)
+        self.transfer_dtype = jnp.bfloat16 if td in ("bfloat16", "bf16") else (
+            jnp.float16 if td in ("float16", "fp16") else None)
         self.hop = int(config.get("data.hop_length", 256))
         self.weights = dict(
             mel_weight=float(tcfg.get("mel_loss_weight", 1.0)),
@@ -110,7 +114,9 @@ class Stage2Trainer:
             perceptual_weight=float(tcfg.get("perceptual_loss_weight", 0.5)),
         )
 
-        self.mesh = mesh or make_mesh(int(config.get("system.mesh.data", -1)))
+        self.mesh = mesh or make_mesh(
+            int(config.get("system.mesh.data", -1)),
+            model=int(config.get("system.mesh.model", 1)))
         self.model = build_model(config.get("model", Config()))
         self.discriminator = MultiScaleDiscriminator(
             spectral_norm=bool(tcfg.get("discriminator_spectral_norm", False)))
@@ -142,10 +148,10 @@ class Stage2Trainer:
                             b2=float(cfg.get("adam_b2", 0.99)),
                             weight_decay=float(cfg.get("weight_decay", 1e-6))))
 
-        self.g_state = replicate_tree(train_state.TrainState.create(
+        self.g_state = shard_tree(train_state.TrainState.create(
             apply_fn=self.model.apply, params=g_vars["params"], tx=tx(tcfg)),
             self.mesh)
-        self.d_state = replicate_tree(train_state.TrainState.create(
+        self.d_state = shard_tree(train_state.TrainState.create(
             apply_fn=self.discriminator.apply, params=d_vars["params"],
             tx=tx(tcfg)), self.mesh)
 
@@ -197,7 +203,18 @@ class Stage2Trainer:
         return out, mel_pred.astype(jnp.float32), audio_pred.astype(jnp.float32)
 
     # -- discriminator step ------------------------------------------------------
+
+    @staticmethod
+    def _upcast(batch):
+        """bf16/f16 transfer arrays -> f32 on device before loss math
+        (STFT/FFT and L1 reductions run in f32 regardless of transfer
+        dtype)."""
+        return {k: (v.astype(jnp.float32)
+                    if v.dtype in (jnp.bfloat16, jnp.float16) else v)
+                for k, v in batch.items()}
+
     def _d_step_fn(self, g_params, d_state, batch, rng):
+        batch = self._upcast(batch)
         _, _, audio_pred = self._acoustic_and_segment(g_params, batch, rng, True)
         audio_pred = jax.lax.stop_gradient(audio_pred)
 
@@ -213,6 +230,7 @@ class Stage2Trainer:
 
     # -- generator step -----------------------------------------------------------
     def _g_step_fn(self, g_state, d_params, batch, rng):
+        batch = self._upcast(batch)
         def g_loss_fn(g_params):
             out, mel_pred, audio_pred = self._acoustic_and_segment(
                 g_params, batch, rng, False)
@@ -251,6 +269,10 @@ class Stage2Trainer:
         device_batch["frame_offsets"] = offsets
         device_batch["audio_seg"] = targets
         sharding = batch_sharding(self.mesh)
+        if self.transfer_dtype is not None:
+            for k in ("mel", "audio_seg"):
+                if k in device_batch and device_batch[k].dtype == np.float32:
+                    device_batch[k] = device_batch[k].astype(self.transfer_dtype)
         return {k: jax.device_put(v, sharding) for k, v in device_batch.items()}
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
@@ -353,10 +375,10 @@ class Stage2Trainer:
                     "discriminator": d.params, "d_opt_state": d.opt_state,
                     "step": 0}
         restored, _, step = self.ckpt.restore(state_template=template)
-        self.g_state = replicate_tree(self.g_state.replace(
+        self.g_state = shard_tree(self.g_state.replace(
             params=restored["generator"], opt_state=restored["g_opt_state"],
             step=step), self.mesh)
-        self.d_state = replicate_tree(self.d_state.replace(
+        self.d_state = shard_tree(self.d_state.replace(
             params=restored["discriminator"], opt_state=restored["d_opt_state"],
             step=step), self.mesh)
         self.step = step
