@@ -235,15 +235,20 @@ class Stage1Trainer:
             self.step = step
             logger.info("Resumed from step %d", step)
 
-        it = data_iterator(self.dataset, self.batch_size, self.buckets,
-                           seed=self.seed)
+        from m2tts_tpu.data.prefetch import DevicePrefetcher
+
+        depth = int(self.config.get("data.prefetch", 2))
+        source = data_iterator(self.dataset, self.batch_size, self.buckets,
+                               seed=self.seed)
+        it = (DevicePrefetcher(source, self._put, depth) if depth > 0
+              else map(self._put, source))
         last: Dict[str, float] = {}
         t_last = time.perf_counter()
         try:
             while self.step < self.max_steps:
                 if not self.thermal.check():
                     self.thermal.wait_for_cooldown()
-                batch = self._put(next(it))
+                batch = next(it)
                 rng = jax.random.fold_in(self.base_rng, self.step)
                 try:
                     with self.profiler.step(self.step):
@@ -275,6 +280,8 @@ class Stage1Trainer:
         except KeyboardInterrupt:  # graceful final checkpoint
             logger.info("Interrupted at step %d — saving checkpoint", self.step)
         finally:
+            if hasattr(it, "close"):
+                it.close()
             self.profiler.close()
             self.save_checkpoint()
             self.metrics.close()

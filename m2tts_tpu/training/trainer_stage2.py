@@ -276,7 +276,8 @@ class Stage2Trainer:
         return {k: jax.device_put(v, sharding) for k, v in device_batch.items()}
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
-        batch = self._prepare(batch)
+        if "audio_seg" not in batch:  # already device-prepared by prefetcher
+            batch = self._prepare(batch)
         rng = jax.random.fold_in(self.base_rng, self.step)
         metrics: Dict[str, float] = {}
         run_d = (not self.alternate_gd) or (self.step % 2 == 0)
@@ -295,10 +296,14 @@ class Stage2Trainer:
     def train(self, resume: bool = False) -> Dict[str, float]:
         if resume and self.ckpt.latest_step() is not None:
             self.restore()
-        audio_samples = None  # collate keeps full audio; segments cut in _prepare
-        it = data_iterator(self.dataset, self.batch_size, self.buckets,
-                           seed=self.seed,
-                           audio_samples=self._max_audio_samples())
+        from m2tts_tpu.data.prefetch import DevicePrefetcher
+
+        source = data_iterator(self.dataset, self.batch_size, self.buckets,
+                               seed=self.seed,
+                               audio_samples=self._max_audio_samples())
+        depth = int(self.config.get("data.prefetch", 2))
+        it = (DevicePrefetcher(source, self._prepare, depth) if depth > 0
+              else source)
         last: Dict[str, float] = {}
         t_last = time.perf_counter()
         try:
@@ -328,6 +333,8 @@ class Stage2Trainer:
         except KeyboardInterrupt:
             logger.info("Interrupted at step %d — saving", self.step)
         finally:
+            if hasattr(it, "close"):
+                it.close()
             self.profiler.close()
             self.save_checkpoint()
             self.metrics.close()

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""HTTP synthesis server over the compiled bucketed pipeline.
+
+Production-serving front door the reference lacks (its only inference
+surface is the one-shot scripts/synthesize.py CLI). Stdlib-only
+(ThreadingHTTPServer + json), so it adds no dependencies:
+
+  GET  /healthz            → {"status": "ok", device, backend, params}
+  POST /synthesize         → audio/wav bytes
+        body: {"text": str, "duration_scale": float = 1.0}
+  POST /synthesize_batch   → {"results": [{"audio_b64": wav-bytes-b64,
+        body: {"texts": [str], ...}    "seconds": float}, ...]}
+
+Requests are funneled through a lock into the Synthesizer so concurrent
+clients share the same compiled graphs (batch them client-side via
+/synthesize_batch for throughput; the lock serializes device access,
+which is what a single chip wants anyway).
+
+Usage:
+  python scripts/serve.py --checkpoint outputs/stage1/checkpoints --port 8080
+  python scripts/serve.py --random-init --config configs/flagship_tpu.yaml  # demo
+"""
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def wav_bytes(pcm16, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def make_handler(synth, info):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0:
+                raise ValueError("empty request body")
+            return json.loads(self.rfile.read(n))
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **info})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                req = self._read_body()
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request body: {e}"})
+                return
+            try:
+                try:
+                    scale = float(req.get("duration_scale", 1.0))
+                except (TypeError, ValueError):
+                    self._json(400, {"error": "'duration_scale' must be a number"})
+                    return
+                if self.path == "/synthesize":
+                    text = req.get("text")
+                    if not text or not isinstance(text, str):
+                        self._json(400, {"error": "'text' (string) required"})
+                        return
+                    with lock:
+                        r = synth.synthesize_batch(
+                            [text], scale)[0]
+                    body = wav_bytes(r["audio_pcm"], synth.sample_rate)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/synthesize_batch":
+                    texts = req.get("texts")
+                    if (not isinstance(texts, list) or not texts
+                            or not all(isinstance(t, str) and t for t in texts)):
+                        self._json(400, {"error": "'texts' (non-empty list "
+                                                  "of strings) required"})
+                        return
+                    with lock:
+                        results = synth.synthesize_batch(
+                            texts, scale)
+                    out = [{"audio_b64": base64.b64encode(
+                                wav_bytes(r["audio_pcm"],
+                                          synth.sample_rate)).decode(),
+                            "seconds": len(r["audio_pcm"]) / synth.sample_rate}
+                           for r in results]
+                    self._json(200, {"results": out})
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+            except Exception as e:  # keep the server alive
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def build_synthesizer(args):
+    from m2tts_tpu.serving import pipeline
+
+    if args.checkpoint:
+        return pipeline.from_checkpoint(args.checkpoint)
+    if args.torch_checkpoint:
+        return pipeline.from_torch_checkpoint(args.torch_checkpoint)
+    if args.random_init:
+        from m2tts_tpu.utils.config import load_config
+
+        return pipeline.from_config(load_config(args.config),
+                                    vocoder_backend=args.vocoder_backend)
+    raise SystemExit("one of --checkpoint / --torch-checkpoint / "
+                     "--random-init is required")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="m2tts_tpu HTTP synthesis server")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--torch-checkpoint", type=str, default=None)
+    p.add_argument("--random-init", action="store_true",
+                   help="untrained demo model from --config")
+    p.add_argument("--config", type=str, default="configs/flagship_tpu.yaml")
+    p.add_argument("--vocoder-backend", type=str, default="auto")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the common buckets before serving")
+    args = p.parse_args(argv)
+
+    import jax
+
+    synth = build_synthesizer(args)
+    if args.warmup:
+        synth.synthesize_batch(["warm up the compiled buckets"])
+    info = {"device": str(jax.devices()[0]),
+            "backend": jax.default_backend(),
+            "vocoder_backend": synth.vocoder_backend,
+            "sample_rate": synth.sample_rate}
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(synth, info))
+    print(f"serving on http://{args.host}:{server.server_address[1]}  {info}",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""HTTP synthesis server: routes, WAV payloads, error handling."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import wave
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from m2tts_tpu.models import M2TTS
+from m2tts_tpu.serving.pipeline import Synthesizer
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.serve import make_handler
+
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    synth = Synthesizer(model, params, text_buckets=(32,), frame_buckets=(64,),
+                        batch_buckets=(1, 2))
+    info = {"device": "test", "backend": jax.default_backend(),
+            "vocoder_backend": synth.vocoder_backend, "sample_rate": 22050}
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(synth, info))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz") as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["sample_rate"] == 22050
+
+
+def test_synthesize_returns_wav(server_url):
+    status, ctype, body = _post(server_url + "/synthesize",
+                                {"text": "hello server"})
+    assert status == 200 and ctype == "audio/wav"
+    with wave.open(io.BytesIO(body)) as f:
+        assert f.getframerate() == 22050
+        assert f.getnframes() > 0
+
+
+def test_synthesize_batch(server_url):
+    status, _, body = _post(server_url + "/synthesize_batch",
+                            {"texts": ["one", "two longer text"]})
+    assert status == 200
+    results = json.loads(body)["results"]
+    assert len(results) == 2
+    wav = base64.b64decode(results[0]["audio_b64"])
+    assert wav[:4] == b"RIFF"
+    assert results[1]["seconds"] > 0
+
+
+def test_missing_text_is_400(server_url):
+    status, _, body = _post(server_url + "/synthesize", {"nope": 1})
+    assert status == 400
+    assert "text" in json.loads(body)["error"]
+
+
+def test_bad_json_is_400(server_url):
+    req = urllib.request.Request(server_url + "/synthesize", data=b"not json",
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_unknown_route_404(server_url):
+    status, _, _ = _post(server_url + "/nope", {"x": 1})
+    assert status == 404
+
+
+def test_bad_duration_scale_is_400(server_url):
+    status, _, body = _post(server_url + "/synthesize",
+                            {"text": "x", "duration_scale": "fast"})
+    assert status == 400
+    assert "duration_scale" in json.loads(body)["error"]
