@@ -193,6 +193,10 @@ class Synthesizer:
     def _encode_batch(self, texts: List[str]):
         n = len(texts)
         batch_n = _bucket_for(n, self.batch_buckets)
+        if n > batch_n:
+            raise ValueError(
+                f"{n} texts exceed the largest batch bucket "
+                f"{max(self.batch_buckets)}; split the request")
         max_phonemes = max(len(self.text_processor.text_to_phonemes(t))
                            for t in texts)
         text_bucket = _bucket_for(max_phonemes, self.text_buckets)
@@ -278,6 +282,87 @@ class Synthesizer:
                    want_mel: bool = False) -> Dict[str, np.ndarray]:
         return self.synthesize_batch([text], duration_scale,
                                      want_mel=want_mel)[0]
+
+    # -- long-form synthesis --------------------------------------------------
+    def phoneme_budget(self) -> int:
+        """Largest utterance (in phonemes) a single bucket can carry."""
+        return max(self.text_buckets)
+
+    def split_text(self, text: str) -> List[str]:
+        """Split ``text`` into chunks that each fit the phoneme budget.
+
+        Sentence-boundary first ([.!?;:]), greedy merge up to the budget;
+        a single over-budget sentence falls back to comma, then word
+        splits. Texts beyond one bucket otherwise TRUNCATE silently in
+        the frontend (frontend/text.py pads/clips to max_length) — the
+        reference has the same cliff (reference src/utils/text.py:341).
+        """
+        import re
+
+        budget = self.phoneme_budget() - 2  # room for the SIL wrap
+        n_phon = lambda t: len(self.text_processor.text_to_phonemes(t))
+
+        def split_units(t: str, pattern: str) -> List[str]:
+            parts = re.split(pattern, t)
+            units, cur = [], ""
+            for i in range(0, len(parts), 2):
+                seg = parts[i] + (parts[i + 1] if i + 1 < len(parts) else "")
+                if not seg.strip():
+                    continue
+                cand = (cur + " " + seg).strip() if cur else seg.strip()
+                if cur and n_phon(cand) > budget:
+                    units.append(cur)
+                    cur = seg.strip()
+                else:
+                    cur = cand
+            if cur:
+                units.append(cur)
+            return units
+
+        out: List[str] = []
+        for sent_chunk in split_units(text, r"([.!?;:]+\s*)"):
+            if n_phon(sent_chunk) <= budget:
+                out.append(sent_chunk)
+                continue
+            for comma_chunk in split_units(sent_chunk, r"(,\s*)"):
+                if n_phon(comma_chunk) <= budget:
+                    out.append(comma_chunk)
+                    continue
+                # last resort: greedy word packing
+                words, cur = comma_chunk.split(), ""
+                for w in words:
+                    cand = (cur + " " + w).strip()
+                    if cur and n_phon(cand) > budget:
+                        out.append(cur)
+                        cur = w
+                    else:
+                        cur = cand
+                if cur:
+                    out.append(cur)
+        return out or [text]
+
+    def synthesize_long(self, text: str, duration_scale: float = 1.0,
+                        gap_ms: float = 120.0) -> Dict[str, np.ndarray]:
+        """Arbitrary-length text → one waveform: sentence-split to the
+        bucket budget, one bucketed batch over all chunks, concatenate
+        with ``gap_ms`` of silence at chunk joins."""
+        chunks = self.split_text(text)
+        max_b = max(self.batch_buckets)
+        results = []
+        for i in range(0, len(chunks), max_b):
+            results.extend(self.synthesize_batch(chunks[i:i + max_b],
+                                                 duration_scale))
+        gap = np.zeros(int(self.sample_rate * gap_ms / 1000.0), np.float32)
+        pieces: List[np.ndarray] = []
+        for i, r in enumerate(results):
+            if i:
+                pieces.append(gap)
+            pieces.append(r["audio"])
+        audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+        return {"audio": audio,
+                "audio_pcm": (np.clip(audio, -1, 1) * 32767).astype(np.int16),
+                "chunks": chunks,
+                "frames": int(sum(r["frames"] for r in results))}
 
     @property
     def rtf_seconds_per_audio_second(self):  # convenience for benchmarks

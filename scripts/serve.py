@@ -89,8 +89,11 @@ def make_handler(synth, info):
                         self._json(400, {"error": "'text' (string) required"})
                         return
                     with lock:
-                        r = synth.synthesize_batch(
-                            [text], scale)[0]
+                        n = len(synth.text_processor.text_to_phonemes(text))
+                        if n > synth.phoneme_budget() - 2:
+                            r = synth.synthesize_long(text, scale)
+                        else:
+                            r = synth.synthesize_batch([text], scale)[0]
                     body = wav_bytes(r["audio_pcm"], synth.sample_rate)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")

@@ -54,8 +54,19 @@ def main(argv=None):
              else [l.strip() for l in open(args.batch_file) if l.strip()])
 
     t0 = time.perf_counter()
-    results = synth.synthesize_batch(texts, args.duration_scale,
-                                     want_mel=args.griffin_lim)
+    budget = synth.phoneme_budget() - 2
+    n_phon = lambda t: len(synth.text_processor.text_to_phonemes(t))
+    if (len(texts) == 1 and not args.griffin_lim
+            and n_phon(texts[0]) > budget):
+        # over one bucket: sentence-chunked long-form path (otherwise the
+        # frontend silently truncates to the bucket)
+        long_res = synth.synthesize_long(texts[0], args.duration_scale)
+        print(f"long-form: {n_phon(texts[0])} phonemes split into "
+              f"{len(long_res['chunks'])} chunks")
+        results = [long_res]
+    else:
+        results = synth.synthesize_batch(texts, args.duration_scale,
+                                         want_mel=args.griffin_lim)
     elapsed = time.perf_counter() - t0
 
     out = Path(args.output)

@@ -104,3 +104,11 @@ def test_bad_duration_scale_is_400(server_url):
                             {"text": "x", "duration_scale": "fast"})
     assert status == 400
     assert "duration_scale" in json.loads(body)["error"]
+
+
+def test_long_text_auto_chunks(server_url):
+    text = "the quick brown fox jumps over the lazy dog. " * 6
+    status, ctype, body = _post(server_url + "/synthesize", {"text": text})
+    assert status == 200 and ctype == "audio/wav"
+    with wave.open(io.BytesIO(body)) as f:
+        assert f.getnframes() > 0

@@ -101,3 +101,61 @@ def test_cli_smoke(tmp_path, monkeypatch):
     audio, sr = load_wav(out)
     assert sr == 22050
     assert len(audio) > 0
+
+
+class TestLongForm:
+    """Sentence-chunked synthesis for texts beyond one bucket."""
+
+    @pytest.fixture(scope="class")
+    def synth(self):
+        import jax
+        import jax.numpy as jnp
+
+        from m2tts_tpu.models import M2TTS
+        from m2tts_tpu.serving.pipeline import Synthesizer
+
+        model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                      text_encoder_layers=1, decoder_layers=1)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32),
+                            max_frames=16, run_vocoder=True)
+        return Synthesizer(model, params, text_buckets=(32, 64),
+                           frame_buckets=(64, 128), batch_buckets=(1, 4, 8))
+
+    def test_split_respects_budget(self, synth):
+        text = ("the quick brown fox jumps over the lazy dog. " * 12).strip()
+        chunks = synth.split_text(text)
+        assert len(chunks) > 1
+        budget = synth.phoneme_budget() - 2
+        for c in chunks:
+            assert len(synth.text_processor.text_to_phonemes(c)) <= budget
+        # nothing lost: all words survive the split
+        import re
+        orig = re.sub(r"[^a-z ]", "", text.lower()).split()
+        got = re.sub(r"[^a-z ]", "", " ".join(chunks).lower()).split()
+        assert orig == got
+
+    def test_single_giant_sentence_word_fallback(self, synth):
+        text = "word " * 80  # no punctuation at all
+        chunks = synth.split_text(text.strip())
+        assert len(chunks) > 1
+        budget = synth.phoneme_budget() - 2
+        for c in chunks:
+            assert len(synth.text_processor.text_to_phonemes(c)) <= budget
+
+    def test_synthesize_long_concatenates(self, synth):
+        import numpy as np
+
+        text = ("hello world. " * 10).strip()
+        res = synth.synthesize_long(text, gap_ms=50)
+        assert len(res["chunks"]) > 1
+        assert res["audio"].ndim == 1 and res["audio"].size > 0
+        # gaps present: total length >= sum of chunk audio
+        per = synth.synthesize_batch(res["chunks"])
+        base = sum(len(r["audio"]) for r in per)
+        n_gaps = len(res["chunks"]) - 1
+        assert res["audio"].size == base + n_gaps * int(22050 * 0.05)
+        assert np.isfinite(res["audio"]).all()
+
+    def test_short_text_single_chunk(self, synth):
+        assert synth.split_text("hello world") == ["hello world"]
