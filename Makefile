@@ -10,7 +10,8 @@ CKPT_DIR ?= outputs/checkpoints
 TEXT ?= Hello world, this is a test of the TPU text to speech system.
 
 .PHONY: help install setup test test-quick lint format train train-stage2 \
-        resume resume-stage2 download-data synthesize demo bench clean info \
+        resume resume-stage2 download-data synthesize demo bench evaluate \
+        clean info \
         native
 
 native:
@@ -33,6 +34,7 @@ help:
 	@echo "  synthesize     text -> WAV (TEXT=..., CKPT=...)"
 	@echo "  demo           untrained end-to-end demo synthesis"
 	@echo "  bench          run the benchmark harness (one JSON line)"
+	@echo "  evaluate       quality metrics for a checkpoint (CKPT=, DATA_DIR=)"
 	@echo "  info           device / model-size report"
 	@echo "  clean          remove caches and build artifacts"
 
@@ -81,6 +83,10 @@ demo:
 
 bench:
 	$(PYTHON) bench.py
+
+evaluate:
+	$(PYTHON) scripts/evaluate.py --checkpoint $(or $(CKPT),$(CKPT_DIR)) \
+		$(if $(DATA_DIR),--data-dir $(DATA_DIR),) -t "$(TEXT)"
 
 info:
 	$(PYTHON) -c "from m2tts_tpu.utils.device import get_device_info; \

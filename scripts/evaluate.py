@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Checkpoint evaluation CLI: quality metrics over a dataset + eval texts.
+
+The reference runs evaluation only inside stage-2 validation
+(benchmark_model_performance at reference train_stage2.py:352-355 and
+per-text MOS estimates at :357-382); this CLI exposes the same two modes
+standalone:
+
+  --data-dir     teacher-forced metrics over a dataset (mel L1/L2,
+                 spectral convergence, LSD, MCD, duration accuracy)
+  --texts/-t     free synthesis of eval sentences with estimated MOS and
+                 optional WAV dumps
+
+Usage:
+  python scripts/evaluate.py --checkpoint outputs/stage1/checkpoints \
+      --data-dir data/LJSpeech-1.1-subset-100 --num-samples 64
+  python scripts/evaluate.py --checkpoint ... -t "Hello world." \
+      -t "A second sentence." --dump-wavs outputs/eval
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="m2tts_tpu evaluation")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--torch-checkpoint", type=str, default=None)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="dataset for teacher-forced metrics")
+    p.add_argument("--num-samples", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--texts", "-t", action="append", default=[],
+                   help="eval sentences (repeatable)")
+    p.add_argument("--dump-wavs", type=str, default=None,
+                   help="directory for synthesized eval-text WAVs")
+    p.add_argument("--duration-scale", type=float, default=1.0)
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON object instead of a report")
+    args = p.parse_args(argv)
+
+    if not args.checkpoint and not args.torch_checkpoint:
+        p.error("one of --checkpoint / --torch-checkpoint is required")
+    if not args.data_dir and not args.texts:
+        p.error("nothing to do: pass --data-dir and/or --texts")
+
+    import numpy as np
+
+    from m2tts_tpu.evaluation.metrics import (TTSEvaluator,
+                                              benchmark_model_performance,
+                                              estimate_mos_score)
+    from m2tts_tpu.frontend.audio import save_wav
+    from m2tts_tpu.serving import pipeline
+
+    synth = (pipeline.from_checkpoint(args.checkpoint) if args.checkpoint
+             else pipeline.from_torch_checkpoint(args.torch_checkpoint))
+    report = {}
+
+    if args.data_dir:
+        from m2tts_tpu.data.dataset import TTSDataset, make_batches
+
+        ds = TTSDataset(args.data_dir)
+        batches = make_batches(ds, args.batch_size,
+                               buckets=[(64, 256), (128, 512), (256, 1024)],
+                               seed=0, shuffle=False, drop_last=False)
+        metrics = benchmark_model_performance(
+            synth.model, synth.params, batches,
+            num_samples=args.num_samples, sample_rate=synth.sample_rate)
+        report["dataset"] = {k: round(float(v), 5)
+                             for k, v in metrics.items()}
+
+    if args.texts:
+        results = synth.synthesize_batch(args.texts, args.duration_scale)
+        per_text = []
+        for text, r in zip(args.texts, results):
+            audio = np.asarray(r["audio"], np.float32)
+            mos = float(estimate_mos_score(
+                audio, sample_rate=synth.sample_rate)["estimated_mos"])
+            item = {"text": text,
+                    "seconds": round(len(audio) / synth.sample_rate, 3),
+                    "estimated_mos": round(mos, 3)}
+            if args.dump_wavs:
+                out = Path(args.dump_wavs)
+                out.mkdir(parents=True, exist_ok=True)
+                path = out / f"eval_{len(per_text):03d}.wav"
+                save_wav(audio, path, synth.sample_rate)
+                item["wav"] = str(path)
+            per_text.append(item)
+        report["texts"] = per_text
+        report["estimated_mos_mean"] = round(
+            float(np.mean([t["estimated_mos"] for t in per_text])), 3)
+
+    if args.json:
+        print(json.dumps(report))
+    else:
+        if "dataset" in report:
+            print("== dataset metrics ==")
+            print(TTSEvaluator(synth.sample_rate)
+                  .generate_evaluation_report(report["dataset"]))
+        for t in report.get("texts", []):
+            print(f"  MOS~{t['estimated_mos']:.2f}  {t['seconds']:6.2f}s  "
+                  f"{t['text'][:60]!r}" + (f"  -> {t['wav']}" if "wav" in t
+                                           else ""))
+        if "estimated_mos_mean" in report:
+            print(f"mean estimated MOS: {report['estimated_mos_mean']:.3f} "
+                  f"(heuristic, not a human MOS)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

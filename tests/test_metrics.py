@@ -109,3 +109,44 @@ def test_benchmark_model_performance(rng):
     out = M.benchmark_model_performance(model, params, batches, num_samples=8)
     assert "mel_l1_distance" in out and np.isfinite(out["mel_l1_distance"])
     assert "duration_correlation" in out
+
+
+def test_evaluate_cli(tmp_path):
+    """End-to-end evaluate CLI over a fresh tiny checkpoint."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import json as json_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    from m2tts_tpu.models import build_model
+    from m2tts_tpu.utils.checkpoint import CheckpointManager
+    from m2tts_tpu.utils.config import Config
+
+    cfg = Config({"model": {
+        "text_encoder": {"vocab_size": 64, "hidden_dim": 32, "num_layers": 1,
+                         "num_heads": 2, "dropout": 0.0},
+        "decoder": {"mel_channels": 8, "num_layers": 1},
+        "vocoder": {"hidden_channels": 16, "upsample_rates": [4, 4, 2, 2]},
+    }})
+    model = build_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    ckpt = CheckpointManager(tmp_path / "ckpt")
+    ckpt.save(1, {"params": params["params"], "step": 1}, config=cfg)
+    ckpt.close()
+
+    from scripts.evaluate import main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--checkpoint", str(tmp_path / "ckpt"),
+                   "-t", "hello", "--json"])
+    assert rc == 0
+    out = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "texts" in out and out["texts"][0]["estimated_mos"] >= 1.0
