@@ -12,7 +12,7 @@ mel layout here is channel-last [T, C].
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 

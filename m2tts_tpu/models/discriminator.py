@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 from jax import Array
 
 from m2tts_tpu.models.components import Conv1d

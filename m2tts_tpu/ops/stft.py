@@ -10,7 +10,6 @@ centered reflect padding, periodic Hann.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax.numpy as jnp

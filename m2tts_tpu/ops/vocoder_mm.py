@@ -22,7 +22,7 @@ Vocoder module is asserted in tests/test_vocoder_mm.py.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,7 @@ handful of compilations:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ asserted in tests/test_streaming.py.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

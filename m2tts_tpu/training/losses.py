@@ -21,7 +21,7 @@ Functional rebuild of the reference losses:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 from jax import Array

@@ -23,7 +23,7 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Any, Dict, Iterator, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ from m2tts_tpu.parallel.partition import shard_tree
 from m2tts_tpu.training.losses import stage1_losses
 from m2tts_tpu.utils.checkpoint import CheckpointManager
 from m2tts_tpu.utils.config import Config
-from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor, get_device_info
+from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor
 from m2tts_tpu.utils.metrics_logger import MetricsLogger
 from m2tts_tpu.utils.profiling import StepProfiler
 

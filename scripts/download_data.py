@@ -18,7 +18,6 @@ building a 100-utterance dev subset of a 13k-utterance corpus is free.
 
 import argparse
 import csv
-import hashlib
 import os
 import shutil
 import sys
