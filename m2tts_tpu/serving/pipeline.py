@@ -363,9 +363,30 @@ class Synthesizer:
                 "chunks": chunks,
                 "frames": int(sum(r["frames"] for r in results))}
 
-    @property
-    def rtf_seconds_per_audio_second(self):  # convenience for benchmarks
-        return None
+    def warmup(self, full: bool = False) -> int:
+        """Pre-compile serving graphs; returns the number compiled.
+
+        ``full=False`` warms the single-stream path (batch 1, every frame
+        bucket); ``full=True`` also warms the largest batch bucket —
+        together these cover the shapes a serving process hits in
+        production, so no request pays a multi-second first-compile.
+        """
+        batches = [1] + ([max(self.batch_buckets)] if full else [])
+        n = 0
+        for b in batches:
+            for frames in self.frame_buckets:
+                fn = self._get_synth(frames, False)
+                ids = jnp.zeros((b, self.text_buckets[0]), jnp.int32)
+                lengths = jnp.ones((b,), jnp.int32)
+                jax.block_until_ready(
+                    fn(self.params, ids, lengths,
+                       jnp.asarray(1.0, jnp.float32))["pcm"])
+                n += 1
+        self._get_probe()(self.params,
+                          jnp.zeros((1, self.text_buckets[0]), jnp.int32),
+                          jnp.ones((1,), jnp.int32),
+                          jnp.asarray(1.0, jnp.float32))
+        return n
 
 
 def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:

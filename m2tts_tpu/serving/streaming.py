@@ -148,7 +148,8 @@ class StreamingSynthesizer:
 
     def __init__(self, model: M2TTS, params, chunk_frames: int = 64,
                  max_frames: int = 1000, text_bucket: int = 128,
-                 halo_frames: int = DEFAULT_HALO_FRAMES):
+                 halo_frames: int = DEFAULT_HALO_FRAMES,
+                 vocoder_backend: str = "xla"):
         from m2tts_tpu.frontend.text import TextProcessor
 
         self.model = model
@@ -157,7 +158,8 @@ class StreamingSynthesizer:
         self.text_bucket = text_bucket
         self.text_processor = TextProcessor()
         self.vocoder = StreamingVocoder(model, params, chunk_frames,
-                                        halo_frames)
+                                        halo_frames,
+                                        vocoder_backend=vocoder_backend)
 
         def acoustic(params, ids, lengths, scale):
             enc, _ = model.apply(params, ids, lengths, True,

@@ -151,14 +151,18 @@ def main(argv=None):
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warmup", action="store_true",
-                   help="compile the common buckets before serving")
+                   help="compile the single-stream buckets before serving")
+    p.add_argument("--warmup-all", action="store_true",
+                   help="also compile the largest batch bucket (slower start, "
+                        "no first-request compile stalls)")
     args = p.parse_args(argv)
 
     import jax
 
     synth = build_synthesizer(args)
-    if args.warmup:
-        synth.synthesize_batch(["warm up the compiled buckets"])
+    if args.warmup or args.warmup_all:
+        n = synth.warmup(full=args.warmup_all)
+        print(f"warmed {n} serving graphs", flush=True)
     info = {"device": str(jax.devices()[0]),
             "backend": jax.default_backend(),
             "vocoder_backend": synth.vocoder_backend,

@@ -159,3 +159,21 @@ class TestLongForm:
 
     def test_short_text_single_chunk(self, synth):
         assert synth.split_text("hello world") == ["hello world"]
+
+
+def test_warmup_compiles_buckets():
+    import jax
+    import jax.numpy as jnp
+
+    from m2tts_tpu.models import M2TTS
+    from m2tts_tpu.serving.pipeline import Synthesizer
+
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    s = Synthesizer(model, params, text_buckets=(32,), frame_buckets=(64, 128),
+                    batch_buckets=(1, 2))
+    assert s.warmup() == 2                 # batch 1 x 2 frame buckets
+    assert s.warmup(full=True) == 4        # + batch 2 x 2 frame buckets
+    assert len(s._synth) == 2              # graph cache keyed by frames

@@ -97,3 +97,11 @@ def test_streaming_unknown_backend_rejected(model_and_params):
     model, params = model_and_params
     with pytest.raises(ValueError, match="vocoder_backend"):
         StreamingVocoder(model, params, vocoder_backend="magic")
+
+
+def test_streaming_synthesizer_backend_passthrough(model_and_params):
+    model, params = model_and_params
+    ss = StreamingSynthesizer(model, params, vocoder_backend="mm")
+    assert ss.vocoder.vocoder_backend == "mm"
+    chunks = list(ss.stream("hello backend"))
+    assert chunks and all(c.ndim == 1 for c in chunks)
