@@ -161,7 +161,9 @@ class Stage1Trainer:
             max_to_keep=int(tcfg.get("max_checkpoints", 5)))
         self.metrics = MetricsLogger(
             config.get("paths.log_dir", out_dir / "logs"),
-            backend=config.get("system.log_metrics", "csv"))
+            backend=config.get("system.log_metrics", "csv"),
+            wandb_project=config.get("system.wandb_project"),
+            run_name=config.get("system.run_name"))
         self.memory = MemoryTracker()
         self.thermal = ThermalMonitor(
             threshold_c=float(config.get("system.thermal_threshold", 80.0)))
@@ -170,6 +172,32 @@ class Stage1Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self.step = 0
+        # Host-side snapshot for OOM recovery: _train_step donates the
+        # state (donate_argnums=(0,)), so a failed dispatch can leave
+        # self.state's buffers deleted — the torch-style "just continue"
+        # guard would then crash on 'Array has been deleted'. Refreshed
+        # at every checkpoint save.
+        self._oom_snapshot = self._host_state_copy()
+
+    def _host_state_copy(self):
+        # one device_get for the whole tree: a single sync instead of a
+        # ~30 ms tunnel round trip per leaf
+        return jax.device_get(self.state)
+
+    def _recover_after_oom(self) -> None:
+        """Make self.state usable again after a failed (donating) dispatch.
+
+        If the donated buffers survived, keep them (no progress lost);
+        otherwise restore the last host snapshot (params/opt_state as of
+        the last checkpoint)."""
+        leaves = jax.tree_util.tree_leaves(self.state)
+        deleted = any(getattr(x, "is_deleted", lambda: False)()
+                      for x in leaves)
+        if deleted:
+            logger.warning("Donated state was invalidated by the failed "
+                           "step — restoring last snapshot (step %d)",
+                           int(self._oom_snapshot.step))
+            self.state = shard_tree(self._oom_snapshot, self.mesh)
 
     # -- compiled steps ------------------------------------------------------
     def _loss_fn(self, params, batch, rng, deterministic):
@@ -258,6 +286,7 @@ class Stage1Trainer:
                     if "RESOURCE_EXHAUSTED" in str(e):
                         logger.error("OOM at step %d; clearing caches", self.step)
                         jax.clear_caches()
+                        self._recover_after_oom()
                         continue
                     raise
                 self.step += 1
@@ -304,7 +333,8 @@ class Stage1Trainer:
     def save_checkpoint(self) -> None:
         if self.step == 0:
             return
-        host_state = jax.tree_util.tree_map(np.asarray, self.state)
+        host_state = self._host_state_copy()
+        self._oom_snapshot = host_state
         self.ckpt.save(self.step,
                        {"params": host_state.params,
                         "opt_state": host_state.opt_state,

@@ -141,12 +141,16 @@ class Stage2Trainer:
                              jnp.zeros((1, self.seg_frames * self.upsample, 1)))
 
         def tx(cfg):
-            return optax.chain(
+            t = optax.chain(
                 optax.clip_by_global_norm(float(cfg.get("gradient_clip_norm", 1.0))),
                 optax.adamw(make_lr_schedule(cfg),
                             b1=float(cfg.get("adam_b1", 0.8)),
                             b2=float(cfg.get("adam_b2", 0.99)),
                             weight_decay=float(cfg.get("weight_decay", 1e-6))))
+            accum = int(cfg.get("gradient_accumulation_steps", 1))
+            if accum > 1:  # real accumulation, matching stage-1's optax.MultiSteps
+                t = optax.MultiSteps(t, every_k_schedule=accum)
+            return t
 
         self.g_state = shard_tree(train_state.TrainState.create(
             apply_fn=self.model.apply, params=g_vars["params"], tx=tx(tcfg)),
@@ -161,7 +165,9 @@ class Stage2Trainer:
             max_to_keep=int(tcfg.get("max_checkpoints", 10)))
         self.metrics = MetricsLogger(
             config.get("paths.log_dir", out_dir / "logs"),
-            backend=config.get("system.log_metrics", "csv"))
+            backend=config.get("system.log_metrics", "csv"),
+            wandb_project=config.get("system.wandb_project"),
+            run_name=config.get("system.run_name"))
         self.memory = MemoryTracker()
         self.thermal = ThermalMonitor()
         self.profiler = StepProfiler.from_config(config)
@@ -174,6 +180,22 @@ class Stage2Trainer:
         self._host_rng = np.random.default_rng(self.seed + 2)
         self.base_rng = jax.random.PRNGKey(self.seed + 3)
         self.step = 0
+        # OOM-recovery snapshots: both compiled steps donate their state,
+        # so a failed dispatch can leave g_state/d_state buffers deleted.
+        # Refreshed at every checkpoint save (mirrors stage-1).
+        self._oom_snapshot = self._host_states_copy()
+
+    def _host_states_copy(self):
+        return jax.device_get((self.g_state, self.d_state))
+
+    def _recover_after_oom(self) -> None:
+        g, d = self._oom_snapshot
+        leaves = jax.tree_util.tree_leaves((self.g_state, self.d_state))
+        if any(getattr(x, "is_deleted", lambda: False)() for x in leaves):
+            logger.warning("Donated state invalidated by the failed step — "
+                           "restoring snapshot (step %d)", int(g.step))
+            self.g_state = shard_tree(g, self.mesh)
+            self.d_state = shard_tree(d, self.mesh)
 
     # -- shared forward pieces -------------------------------------------------
     def _cast(self, params):
@@ -310,8 +332,17 @@ class Stage2Trainer:
             while self.step < self.max_steps:
                 if not self.thermal.check():
                     self.thermal.wait_for_cooldown()
-                with self.profiler.step(self.step):
-                    metrics = self.train_step(next(it))
+                try:
+                    with self.profiler.step(self.step):
+                        metrics = self.train_step(next(it))
+                except jax.errors.JaxRuntimeError as e:  # OOM guard
+                    if "RESOURCE_EXHAUSTED" in str(e):
+                        logger.error("OOM at step %d; clearing caches",
+                                     self.step)
+                        jax.clear_caches()
+                        self._recover_after_oom()
+                        continue
+                    raise
                 if self.step % self.log_every == 0:
                     now = time.perf_counter()
                     metrics["steps_per_sec"] = self.log_every / (now - t_last)
@@ -367,8 +398,8 @@ class Stage2Trainer:
     def save_checkpoint(self) -> None:
         if self.step == 0:
             return
-        g = jax.tree_util.tree_map(np.asarray, self.g_state)
-        d = jax.tree_util.tree_map(np.asarray, self.d_state)
+        g, d = self._host_states_copy()
+        self._oom_snapshot = (g, d)
         self.ckpt.save(self.step, {
             "generator": g.params, "g_opt_state": g.opt_state,
             "discriminator": d.params, "d_opt_state": d.opt_state,

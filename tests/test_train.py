@@ -102,6 +102,33 @@ def test_gradient_accumulation_actually_accumulates(tmp_path, dummy_ds):
     trainer.close()
 
 
+def test_oom_recovery_survives_donated_state(tmp_path, dummy_ds):
+    """The OOM guard must survive the donating dispatch invalidating
+    self.state: simulate a failed step that deletes every state buffer
+    (what donation does on the device) and check training continues from
+    the snapshot."""
+    cfg = tiny_config(tmp_path, max_steps=3, log_every=1)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    real_step = trainer._train_step
+    calls = {"n": 0}
+
+    def flaky_step(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second dispatch OOMs after donation
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: simulated OOM")
+        return real_step(state, batch, rng)
+
+    trainer._train_step = flaky_step
+    last = trainer.train()
+    trainer.close()
+    assert trainer.step == 3
+    assert np.isfinite(last["total_loss"])
+
+
 def test_data_parallel_mesh_used(tmp_path, dummy_ds):
     trainer = Stage1Trainer(tiny_config(tmp_path, max_steps=2), dataset=dummy_ds)
     assert trainer.mesh.shape["data"] == 8  # virtual CPU mesh from conftest

@@ -74,6 +74,54 @@ def test_gan_training_updates_both_nets(tmp_path, dummy_ds):
     trainer.close()
 
 
+def test_stage2_oom_recovery(tmp_path, dummy_ds):
+    """Stage-2 OOM guard: a failed (donating) G step that invalidates both
+    states must not kill the run — training restores the snapshot and
+    finishes."""
+    cfg = stage2_config(tmp_path, max_steps=2)
+    trainer = Stage2Trainer(cfg, dataset=dummy_ds)
+    real_g = trainer._g_step
+    calls = {"n": 0}
+
+    def flaky_g(g_state, d_params, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            for leaf in jax.tree_util.tree_leaves(
+                    (trainer.g_state, trainer.d_state)):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: simulated OOM")
+        return real_g(g_state, d_params, batch, rng)
+
+    trainer._g_step = flaky_g
+    last = trainer.train()
+    trainer.close()
+    assert trainer.step == 2
+    assert np.isfinite(last["total_loss"])
+
+
+def test_stage2_gradient_accumulation(tmp_path, dummy_ds):
+    """With gradient_accumulation_steps=2 the generator params change only
+    every second micro-step (optax.MultiSteps in the stage-2 tx)."""
+    from m2tts_tpu.data.dataset import data_iterator
+
+    cfg = stage2_config(tmp_path, gradient_accumulation_steps=2, max_steps=1)
+    trainer = Stage2Trainer(cfg, dataset=dummy_ds)
+    it = data_iterator(dummy_ds, 8, trainer.buckets, seed=0,
+                       audio_samples=trainer._max_audio_samples())
+    g0 = jax.device_get(trainer.g_state.params)
+    trainer.train_step(next(it))
+    g1 = jax.device_get(trainer.g_state.params)
+    assert all(np.allclose(a, b) for a, b in
+               zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)))
+    trainer.train_step(next(it))
+    g2 = jax.device_get(trainer.g_state.params)
+    assert any(not np.allclose(a, b) for a, b in
+               zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g2)))
+    trainer.close()
+
+
 def test_stage2_checkpoint_loads_for_inference(tmp_path, dummy_ds):
     cfg = stage2_config(tmp_path, max_steps=1)
     trainer = Stage2Trainer(cfg, dataset=dummy_ds)
