@@ -28,6 +28,21 @@ import flax.linen as nn
 from jax import Array
 
 
+# Reference weight-init table (reference src/models/components.py:274-286,
+# applied recursively by TextEncoder/MelDecoder/SimpleVocoder via
+# ``self.apply(initialize_weights)``): xavier-uniform for Linear kernels,
+# kaiming-normal for Conv1d kernels, zeros for biases, ones/zeros for
+# LayerNorm (the flax default). Used as kernel_init defaults model-wide —
+# including the duration predictor, which the reference leaves on torch
+# defaults only because its classes never call initialize_weights.
+# Embeddings keep torch nn.Embedding's N(0, 1) (the table doesn't touch
+# them, and the ×√d input scale assumes unit-variance embeddings).
+dense_init = nn.initializers.xavier_uniform()
+# full (untruncated) normal: torch kaiming_normal_; jax he_normal truncates
+conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+embed_init = nn.initializers.normal(1.0)
+
+
 def sinusoidal_position_encoding(max_len: int, dim: int,
                                  dtype=jnp.float32) -> Array:
     """Standard transformer PE table [max_len, dim].
@@ -69,7 +84,8 @@ class MultiHeadSelfAttention(nn.Module):
         nh = self.num_heads
         hd = self.hidden_dim // nh
 
-        qkv = nn.Dense(3 * self.hidden_dim, use_bias=False, name="qkv")(x)
+        qkv = nn.Dense(3 * self.hidden_dim, use_bias=False,
+                       kernel_init=dense_init, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, nh, hd]
 
@@ -81,7 +97,7 @@ class MultiHeadSelfAttention(nn.Module):
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, self.hidden_dim)
-        return nn.Dense(self.hidden_dim, name="out")(out)
+        return nn.Dense(self.hidden_dim, kernel_init=dense_init, name="out")(out)
 
 
 class FeedForward(nn.Module):
@@ -93,10 +109,10 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        h = nn.Dense(self.ffn_dim, name="fc1")(x)
+        h = nn.Dense(self.ffn_dim, kernel_init=dense_init, name="fc1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(self.hidden_dim, name="fc2")(h)
+        return nn.Dense(self.hidden_dim, kernel_init=dense_init, name="fc2")(h)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -149,7 +165,7 @@ class Conv1d(nn.Module):
             self.features, (self.kernel_size,), strides=(self.stride,),
             padding=((pad, pad),), kernel_dilation=(self.dilation,),
             feature_group_count=self.groups, use_bias=self.use_bias,
-            name="conv",
+            kernel_init=conv_init, name="conv",
         )(x)
 
 
@@ -303,8 +319,7 @@ class SNConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         k_shape = (self.kernel_size, x.shape[-1] // self.groups, self.features)
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            k_shape)
+        kernel = self.param("kernel", conv_init, k_shape)
         kernel = spectral_normalize(kernel, self.sn_iters)
         pad = (self.kernel_size - 1) * self.dilation // 2
         y = jax.lax.conv_general_dilated(

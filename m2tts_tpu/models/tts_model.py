@@ -32,6 +32,8 @@ from m2tts_tpu.models.components import (
     LightweightResBlock,
     TransformerEncoderLayer,
     VariancePredictor,
+    dense_init,
+    embed_init,
     padding_mask,
     sinusoidal_position_encoding,
 )
@@ -58,7 +60,8 @@ class TextEncoder(nn.Module):
         B, S = phoneme_ids.shape
         mask = padding_mask(lengths, S) if lengths is not None else None
 
-        x = nn.Embed(self.vocab_size, self.hidden_dim, name="embedding")(phoneme_ids)
+        x = nn.Embed(self.vocab_size, self.hidden_dim,
+                     embedding_init=embed_init, name="embedding")(phoneme_ids)
         x = x * jnp.asarray(self.hidden_dim ** 0.5, x.dtype)
         pe = sinusoidal_position_encoding(self.max_seq_len, self.hidden_dim, x.dtype)
         x = x + pe[None, :S]
@@ -116,7 +119,8 @@ class MelDecoder(nn.Module):
             x = layer_cls(self.hidden_dim, self.num_heads, self.hidden_dim * 2,
                           self.dropout_rate, name=f"layer{i}")(x, mask, deterministic)
         x = nn.LayerNorm(name="norm")(x)
-        return nn.Dense(self.mel_channels, name="mel_proj")(x)
+        return nn.Dense(self.mel_channels, kernel_init=dense_init,
+                        name="mel_proj")(x)
 
 
 class Vocoder(nn.Module):

@@ -109,3 +109,34 @@ def test_dropout_rngs_change_training_output(model_and_params):
                           rngs={"dropout": jax.random.PRNGKey(seed)})
         outs.append(np.asarray(out["mel_output"]))
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_reference_init_statistics():
+    """From-scratch init reproduces the reference weight-init table
+    (reference src/models/components.py:274-286): xavier-uniform dense
+    kernels, kaiming-normal conv kernels, N(0,1) embeddings, unit/zero
+    LayerNorm, zero biases."""
+    model = M2TTS(vocab_size=128, hidden_dim=64, mel_channels=32,
+                  vocoder_channels=64)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 16), jnp.int32),
+                        max_frames=32, run_vocoder=True)["params"]
+
+    emb = np.asarray(params["text_encoder"]["embedding"]["embedding"])
+    assert abs(emb.std() - 1.0) < 0.05  # torch nn.Embedding default
+
+    qkv = np.asarray(params["text_encoder"]["layer0"]["attn"]["qkv"]["kernel"])
+    fi, fo = qkv.shape
+    bound = np.sqrt(6.0 / (fi + fo))  # xavier-uniform support
+    assert np.abs(qkv).max() <= bound + 1e-6
+    assert np.isclose(qkv.std(), bound / np.sqrt(3.0), rtol=0.15)
+
+    k = np.asarray(params["vocoder"]["input_conv"]["conv"]["kernel"])
+    fan_in = k.shape[0] * k.shape[1]  # (ks, in, out)
+    assert np.isclose(k.std(), np.sqrt(2.0 / fan_in), rtol=0.15)
+    assert np.abs(k).max() > np.sqrt(2.0 / fan_in) * 2.5  # normal, not uniform
+
+    ln = params["text_encoder"]["norm"]
+    assert (np.asarray(ln["scale"]) == 1).all()
+    assert (np.asarray(ln["bias"]) == 0).all()
+    assert (np.asarray(
+        params["text_encoder"]["layer0"]["attn"]["out"]["bias"]) == 0).all()
