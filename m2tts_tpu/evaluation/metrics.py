@@ -223,17 +223,24 @@ def aggregate_metrics(metric_dicts: Iterable[Dict[str, float]]
 
 def benchmark_model_performance(model, params, batches: Iterable[Dict],
                                 num_samples: int = 100,
-                                sample_rate: int = 22050) -> Dict[str, float]:
+                                sample_rate: int = 22050,
+                                _fn_cache: Optional[Dict] = None
+                                ) -> Dict[str, float]:
     """Run the acoustic model over batches and aggregate evaluator metrics
     (reference metrics.py:310-364). ``batches`` yield the fixed-shape dicts
-    produced by m2tts_tpu.data.dataset.make_batches."""
+    produced by m2tts_tpu.data.dataset.make_batches.
+
+    ``_fn_cache``: long-lived callers (in-training validation) pass a dict
+    so the per-bucket compiled forwards persist across calls instead of
+    retracing every validation."""
     import jax
     import jax.numpy as jnp
 
     evaluator = TTSEvaluator(sample_rate)
     all_metrics = []
     processed = 0
-    fns = {}  # one compiled forward per mel bucket length
+    # one compiled forward per mel bucket length
+    fns = _fn_cache if _fn_cache is not None else {}
     for batch in batches:
         if processed >= num_samples:
             break

@@ -172,12 +172,26 @@ class Stage1Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self.step = 0
+        # in-training quality validation: sample WAV dump on every
+        # validation (reference train.py:344-368); lazily built so
+        # sample-free runs never pay the synthesis compile
+        self.validate_samples = bool(tcfg.get("validate_samples", True))
+        self._sample_validator = None
         # Host-side snapshot for OOM recovery: _train_step donates the
         # state (donate_argnums=(0,)), so a failed dispatch can leave
         # self.state's buffers deleted — the torch-style "just continue"
         # guard would then crash on 'Array has been deleted'. Refreshed
         # at every checkpoint save.
         self._oom_snapshot = self._host_state_copy()
+
+    @property
+    def sample_validator(self):
+        if self._sample_validator is None:
+            from m2tts_tpu.training.validation import validator_from_config
+
+            self._sample_validator = validator_from_config(
+                self.config, self.model, stage=1)
+        return self._sample_validator
 
     def _host_state_copy(self):
         # one device_get for the whole tree: a single sync instead of a
@@ -302,6 +316,9 @@ class Stage1Trainer:
                                 {k: round(v, 4) for k, v in last.items()})
                 if self.step % self.validate_every == 0:
                     val = self.validate()
+                    if self.validate_samples:
+                        val.update(self.sample_validator.run(
+                            {"params": self.state.params}, self.step))
                     self.metrics.log({f"val_{k}": v for k, v in val.items()},
                                      self.step)
                 if self.step % self.save_every == 0:

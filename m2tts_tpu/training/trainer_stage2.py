@@ -30,7 +30,7 @@ from __future__ import annotations
 import logging
 import time
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +184,13 @@ class Stage2Trainer:
         # so a failed dispatch can leave g_state/d_state buffers deleted.
         # Refreshed at every checkpoint save (mirrors stage-1).
         self._oom_snapshot = self._host_states_copy()
+        # quality validation (evaluator sweep + eval-text MOS) and periodic
+        # sample generation, both reference behaviors (train_stage2.py)
+        self.validate_quality = bool(tcfg.get("validate_quality", True))
+        self.generate_samples_every = int(config.get(
+            "system.generate_samples_every", 0))
+        self._sample_validator = None
+        self._bm_cache: Dict = {}
 
     def _host_states_copy(self):
         return jax.device_get((self.g_state, self.d_state))
@@ -283,10 +290,14 @@ class Stage2Trainer:
         return g_state.apply_gradients(grads=grads), losses
 
     # -- loop ----------------------------------------------------------------------
-    def _prepare(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    def _prepare(self, batch: Dict[str, np.ndarray],
+                 rng: Optional[np.random.Generator] = None
+                 ) -> Dict[str, jnp.ndarray]:
+        # rng defaults to the training segment stream; validation passes
+        # its own generator so validating never perturbs training data
         offsets, targets = _segment_audio(
             batch["audio"], batch["mel_lengths"], self.seg_frames, self.hop,
-            self.upsample, self._host_rng)
+            self.upsample, rng if rng is not None else self._host_rng)
         device_batch = {k: v for k, v in batch.items() if k != "audio"}
         device_batch["frame_offsets"] = offsets
         device_batch["audio_seg"] = targets
@@ -356,9 +367,18 @@ class Stage2Trainer:
                     val = self.validate()
                     self.metrics.log({f"val_{k}": v for k, v in val.items()},
                                      self.step)
-                    if self.early_stopping(val.get("mel_loss", float("inf"))):
+                    # early stop on -MOS when the quality pass produced one
+                    # (reference train_stage2.py:480-485); else mel loss
+                    score = (-val["estimated_mos"]
+                             if "estimated_mos" in val
+                             else val.get("mel_loss", float("inf")))
+                    if self.early_stopping(score):
                         logger.info("Early stopping at step %d", self.step)
                         break
+                if (self.generate_samples_every
+                        and self.step % self.generate_samples_every == 0):
+                    self.sample_validator.run(
+                        {"params": self.g_state.params}, self.step)
                 if self.step % self.save_every == 0:
                     self.save_checkpoint()
         except KeyboardInterrupt:
@@ -376,13 +396,20 @@ class Stage2Trainer:
         return max_mel * self.hop
 
     def validate(self, n_batches: int = 2) -> Dict[str, float]:
+        """Loss metrics on held-out batches + (when enabled) the quality
+        pass the reference runs every validation: evaluator metrics over
+        val batches and per-eval-text synthesis with MOS scoring
+        (reference train_stage2.py:342-382). Deterministic: a fresh
+        validation RNG draws the audio segments, so repeated validation
+        neither jitters the metric nor advances the training stream."""
         it = make_batches(self.dataset, self.batch_size, self.buckets,
                           seed=0, shuffle=False,
                           audio_samples=self._max_audio_samples())
+        val_rng = np.random.default_rng(self.seed + 7777)
         totals: Dict[str, float] = {}
         count = 0
         for batch in it:
-            prepared = self._prepare(batch)
+            prepared = self._prepare(batch, rng=val_rng)
             rng = jax.random.PRNGKey(0)
             _, mel_pred, audio_pred = self._acoustic_and_segment(
                 self.g_state.params, prepared, rng, True)
@@ -393,7 +420,39 @@ class Stage2Trainer:
             count += 1
             if count >= n_batches:
                 break
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        out = {k: v / max(count, 1) for k, v in totals.items()}
+        if self.validate_quality:
+            out.update(self._quality_metrics(n_batches))
+        return out
+
+    def _quality_metrics(self, n_batches: int) -> Dict[str, float]:
+        """Evaluator sweep + eval-text MOS (the reference's
+        benchmark_model_performance + estimate_mos_score validation)."""
+        from m2tts_tpu.evaluation.metrics import benchmark_model_performance
+
+        out: Dict[str, float] = {}
+        try:
+            batches = make_batches(self.dataset, self.batch_size,
+                                   self.buckets, seed=0, shuffle=False)
+            out.update(benchmark_model_performance(
+                self.model, {"params": self.g_state.params}, batches,
+                num_samples=self.batch_size * n_batches,
+                sample_rate=int(self.config.get("data.sample_rate", 22050)),
+                _fn_cache=self._bm_cache))
+        except Exception as e:  # pragma: no cover - resilience path
+            logger.warning("benchmark_model_performance failed: %s", e)
+        out.update(self.sample_validator.run(
+            {"params": self.g_state.params}, self.step))
+        return out
+
+    @property
+    def sample_validator(self):
+        if self._sample_validator is None:
+            from m2tts_tpu.training.validation import validator_from_config
+
+            self._sample_validator = validator_from_config(
+                self.config, self.model, stage=2)
+        return self._sample_validator
 
     def save_checkpoint(self) -> None:
         if self.step == 0:

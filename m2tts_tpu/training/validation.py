@@ -1,0 +1,110 @@
+"""In-training quality validation: eval-text synthesis, WAV dumps, MOS.
+
+Reproduces the reference's quality-validation behavior inside the
+trainers:
+
+- stage-1 dumps a sample WAV for a fixed phrase every validation
+  (reference training/train.py:344-368),
+- stage-2 synthesizes every ``system.eval_texts`` entry, saves WAVs under
+  the samples dir, scores each with the heuristic MOS estimator, and
+  exposes ``estimated_mos`` for early stopping on -MOS (reference
+  training/train_stage2.py:342-382, :480-485).
+
+TPU-native differences: synthesis runs through the bucketed serving
+pipeline (one compiled graph reused across validations, one device_get
+per batch) instead of the reference's per-text eager inference, and a
+dedicated RNG keeps validation from perturbing the training data stream.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_EVAL_TEXTS = ["Hello world, this is a test."]
+
+
+class SampleValidator:
+    """Synthesize fixed eval texts with the current params, write WAVs,
+    and return per-sample + aggregate MOS metrics."""
+
+    def __init__(self, model, eval_texts: Optional[Sequence[str]] = None,
+                 samples_dir="outputs/samples", sample_rate: int = 22050,
+                 hop_length: int = 256, text_bucket: int = 64,
+                 frame_bucket: int = 256):
+        self.model = model
+        self.eval_texts: List[str] = list(eval_texts or DEFAULT_EVAL_TEXTS)
+        self.samples_dir = Path(samples_dir)
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.text_bucket = text_bucket
+        self.frame_bucket = frame_bucket
+        self._synth = None
+
+    def _get_synth(self, variables):
+        if self._synth is None:
+            from m2tts_tpu.serving.pipeline import Synthesizer
+
+            n = len(self.eval_texts)
+            self._synth = Synthesizer(
+                self.model, variables,
+                text_buckets=(self.text_bucket,),
+                frame_buckets=(self.frame_bucket,),
+                batch_buckets=(max(n, 1),),
+                sample_rate=self.sample_rate, hop_length=self.hop_length,
+                vocoder_backend="xla")
+        self._synth.params = variables
+        return self._synth
+
+    def run(self, variables, step: int) -> Dict[str, float]:
+        """Synthesize, dump ``sample_step_{step}_text_{i}.wav``, score MOS.
+
+        Never raises: a failed synthesis logs a warning and returns what it
+        has (the reference wraps each sample in try/except the same way,
+        train_stage2.py:364-381)."""
+        from m2tts_tpu.evaluation.metrics import estimate_mos_score
+        from m2tts_tpu.frontend.audio import save_wav
+
+        metrics: Dict[str, float] = {}
+        try:
+            synth = self._get_synth(variables)
+            results = synth.synthesize_batch(
+                self.eval_texts, max_frames=self.frame_bucket)
+        except Exception as e:  # pragma: no cover - resilience path
+            logger.warning("Sample synthesis failed at step %d: %s", step, e)
+            return metrics
+        self.samples_dir.mkdir(parents=True, exist_ok=True)
+        mos_scores = []
+        for i, r in enumerate(results):
+            try:
+                path = self.samples_dir / f"sample_step_{step}_text_{i}.wav"
+                save_wav(r["audio"], path, self.sample_rate)
+                mos = estimate_mos_score(
+                    r["audio"], sample_rate=self.sample_rate)["estimated_mos"]
+                metrics[f"sample_{i}_mos"] = mos
+                mos_scores.append(mos)
+            except Exception as e:  # pragma: no cover - resilience path
+                logger.warning("Failed to save/score sample %d: %s", i, e)
+        if mos_scores:
+            metrics["estimated_mos"] = float(np.mean(mos_scores))
+        metrics["validation_completed"] = 1.0
+        return metrics
+
+
+def validator_from_config(config, model, stage: int) -> SampleValidator:
+    """Build a SampleValidator from the 5-group config schema."""
+    out_dir = Path(config.get(
+        "paths.output_dir", f"outputs/stage{stage}"))
+    samples_dir = config.get("paths.samples_dir", out_dir / "samples")
+    texts = config.get("system.eval_texts", None)
+    return SampleValidator(
+        model, eval_texts=texts, samples_dir=samples_dir,
+        sample_rate=int(config.get("data.sample_rate", 22050)),
+        hop_length=int(config.get("data.hop_length", 256)),
+        text_bucket=int(config.get("system.eval_text_bucket", 64)),
+        frame_bucket=int(config.get("system.eval_frame_bucket", 256)))

@@ -161,3 +161,19 @@ def test_dp_grads_match_single_device(tmp_path, dummy_ds):
                                    atol=1e-5, rtol=1e-4)
     t_dp.close()
     t_sd.close()
+
+
+def test_validation_dumps_sample_wavs(tmp_path, dummy_ds):
+    """Stage-1 validation synthesizes the configured eval texts and dumps
+    WAVs (reference train.py:344-368)."""
+    cfg = tiny_config(tmp_path, max_steps=2, validate_every=2)
+    cfg.set("system.eval_texts", ["Hello."])
+    cfg.set("system.eval_text_bucket", 16)
+    cfg.set("system.eval_frame_bucket", 64)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    trainer.train()
+    trainer.close()
+    samples = list((tmp_path / "out" / "samples").glob("sample_step_*_text_0.wav"))
+    assert samples, "no sample WAVs dumped at validation"
+    logs = (tmp_path / "out" / "logs" / "metrics.jsonl").read_text()
+    assert "val_estimated_mos" in logs

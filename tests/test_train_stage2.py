@@ -161,3 +161,25 @@ def test_resume_stage2(tmp_path, dummy_ds):
     t2.train(resume=True)
     assert t2.step == 3
     t2.close()
+
+
+def test_stage2_validate_quality_and_determinism(tmp_path, dummy_ds):
+    """Stage-2 validation reports estimated MOS + evaluator metrics, dumps
+    eval-text WAVs, and is deterministic: calling it twice returns the
+    same numbers and does not advance the training segment RNG."""
+    cfg = stage2_config(tmp_path, max_steps=1)
+    cfg.set("system.eval_texts", ["Hello."])
+    cfg.set("system.eval_text_bucket", 16)
+    cfg.set("system.eval_frame_bucket", 64)
+    trainer = Stage2Trainer(cfg, dataset=dummy_ds)
+    rng_state_before = trainer._host_rng.bit_generator.state
+    v1 = trainer.validate(n_batches=1)
+    v2 = trainer.validate(n_batches=1)
+    assert trainer._host_rng.bit_generator.state == rng_state_before
+    assert "estimated_mos" in v1 and 1.0 <= v1["estimated_mos"] <= 5.0
+    assert "mel_l1_distance" in v1  # evaluator sweep ran
+    assert v1["mel_loss"] == pytest.approx(v2["mel_loss"])
+    assert v1["estimated_mos"] == pytest.approx(v2["estimated_mos"])
+    samples = list((tmp_path / "out" / "samples").glob("*.wav"))
+    assert samples
+    trainer.close()
