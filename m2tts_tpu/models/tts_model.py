@@ -200,7 +200,19 @@ class M2TTS(nn.Module):
                  run_vocoder: bool = False) -> Dict[str, Any]:
         enc, mask = self.text_encoder(phoneme_ids, phoneme_lengths, deterministic)
         duration_pred = self.duration_predictor(enc, deterministic)
-        durations = target_durations if target_durations is not None else duration_pred
+        if target_durations is not None:
+            # caller-provided targets pass through untouched (exact
+            # training-path parity with the reference regulator)
+            durations = target_durations
+        elif mask is not None:
+            # predicted durations: padded phonemes must contribute zero
+            # frames, else the text bucket a request lands in changes its
+            # output length (the reference's Python regulator loops
+            # padding too, tts_model.py:146-178 — a bug our fixed-shape
+            # buckets can't tolerate; documented in PARITY.md)
+            durations = duration_pred * mask.astype(duration_pred.dtype)
+        else:
+            durations = duration_pred
         regulated, frame_mask, total_frames = regulate_lengths(enc, durations, max_frames)
         mel = self.decoder(regulated, frame_mask if self.mask_decoder else None,
                            deterministic)
@@ -229,6 +241,8 @@ class M2TTS(nn.Module):
         enc, mask = self.text_encoder(phoneme_ids, phoneme_lengths, True)
         duration_pred = self.duration_predictor(enc, True)
         scaled = duration_pred * jnp.asarray(duration_scale, duration_pred.dtype)
+        if mask is not None:  # padded phonemes contribute zero frames
+            scaled = scaled * mask.astype(scaled.dtype)
         regulated, frame_mask, total_frames = regulate_lengths(enc, scaled, max_frames)
         mel = self.decoder(regulated, frame_mask if self.mask_decoder else None, True)
         # zero mel beyond each utterance's total frames so bucket padding

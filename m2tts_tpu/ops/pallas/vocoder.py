@@ -161,6 +161,17 @@ def fused_vocoder_forward(mel: Array, packed: Dict, rates: Sequence[int],
 
     if not interpret:
         halo = max(halo, 1024 // math.gcd(U, 1024))
+        if halo > tile:
+            # The output-DMA offset ((q*tile - start)//halo)*(halo*U) is
+            # exact only while the edge clamp engages solely on the first/
+            # last tile, i.e. halo <= tile; with halo > tile (rates where
+            # gcd(U, 1024) < 1024/tile) interior tiles would silently
+            # emit the wrong window. Refuse instead of corrupting audio —
+            # callers fall back to the mm/XLA vocoder backends.
+            raise ValueError(
+                f"fused vocoder: alignment-bumped halo {halo} exceeds tile "
+                f"{tile} (upsample product {U}); raise tile to >= {halo} "
+                f"or use the 'mm'/'xla' vocoder backend for these rates")
     win = tile + 2 * halo
     flat_weights, C_pad = _flatten_padded(packed, rates)
     n_w = len(flat_weights)

@@ -139,8 +139,12 @@ class Synthesizer:
             model = self.model
 
             def inner(mdl, ids, lengths):
-                enc, _ = mdl.text_encoder(ids, lengths, True)
-                return mdl.duration_predictor(enc, True)
+                enc, mask = mdl.text_encoder(ids, lengths, True)
+                durations = mdl.duration_predictor(enc, True)
+                # padded phonemes contribute zero frames (matches
+                # M2TTS.acoustic, so the probe's frame count agrees with
+                # the synthesis graph regardless of text bucket)
+                return durations * mask.astype(durations.dtype)
 
             @jax.jit
             def probe(params, ids, lengths, duration_scale):
@@ -363,29 +367,40 @@ class Synthesizer:
                 "chunks": chunks,
                 "frames": int(sum(r["frames"] for r in results))}
 
-    def warmup(self, full: bool = False) -> int:
+    def reachable_shapes(self, full: bool = True):
+        """Every (batch, text, frames) compile shape a request can select.
+
+        ``full=False`` restricts to the single-stream path (batch 1)."""
+        batches = list(self.batch_buckets) if full else []
+        if 1 not in batches:
+            batches = [1] + batches
+        return [(b, t, f) for b in batches for t in self.text_buckets
+                for f in self.frame_buckets]
+
+    def warmup(self, full: bool = False, want_mel: bool = False) -> int:
         """Pre-compile serving graphs; returns the number compiled.
 
-        ``full=False`` warms the single-stream path (batch 1, every frame
-        bucket); ``full=True`` also warms the largest batch bucket —
-        together these cover the shapes a serving process hits in
-        production, so no request pays a multi-second first-compile.
+        ``full=False`` warms the single-stream path: batch 1 × every
+        (text, frame) bucket. ``full=True`` warms the complete reachable
+        product — every (batch, text, frame) combination a request can
+        select — plus the duration probe per (batch, text), so NO
+        post-warmup request pays a first compile
+        (tests/test_serving.py::test_full_warmup_covers_every_request_shape).
         """
-        batches = [1] + ([max(self.batch_buckets)] if full else [])
+        scale = jnp.asarray(1.0, jnp.float32)
+        probe = self._get_probe()
         n = 0
-        for b in batches:
-            for frames in self.frame_buckets:
-                fn = self._get_synth(frames, False)
-                ids = jnp.zeros((b, self.text_buckets[0]), jnp.int32)
-                lengths = jnp.ones((b,), jnp.int32)
-                jax.block_until_ready(
-                    fn(self.params, ids, lengths,
-                       jnp.asarray(1.0, jnp.float32))["pcm"])
-                n += 1
-        self._get_probe()(self.params,
-                          jnp.zeros((1, self.text_buckets[0]), jnp.int32),
-                          jnp.ones((1,), jnp.int32),
-                          jnp.asarray(1.0, jnp.float32))
+        seen_bt = set()
+        for b, t, frames in self.reachable_shapes(full):
+            ids = jnp.zeros((b, t), jnp.int32)
+            lengths = jnp.ones((b,), jnp.int32)
+            if (b, t) not in seen_bt:  # probe compiles per (batch, text)
+                seen_bt.add((b, t))
+                jax.block_until_ready(probe(self.params, ids, lengths, scale))
+            fn = self._get_synth(frames, want_mel)
+            jax.block_until_ready(
+                fn(self.params, ids, lengths, scale)["pcm"])
+            n += 1
         return n
 
 
@@ -408,8 +423,8 @@ def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:
                        vocoder_backend=vocoder_backend)
 
 
-def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None
-                    ) -> Synthesizer:
+def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None,
+                    vocoder_backend: str = "xla") -> Synthesizer:
     """Build a Synthesizer from a self-describing checkpoint directory."""
     from m2tts_tpu.utils.checkpoint import load_for_inference
 
@@ -417,10 +432,12 @@ def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None
     model = build_model(config.model)
     return Synthesizer(model, params,
                        sample_rate=int(config.get("data.sample_rate", 22050)),
-                       hop_length=int(config.get("data.hop_length", 256)))
+                       hop_length=int(config.get("data.hop_length", 256)),
+                       vocoder_backend=vocoder_backend)
 
 
-def from_torch_checkpoint(path: str) -> Synthesizer:
+def from_torch_checkpoint(path: str,
+                          vocoder_backend: str = "xla") -> Synthesizer:
     """Build a Synthesizer directly from a reference torch checkpoint.
 
     Converted checkpoints always use the BatchNorm-compat duration
@@ -435,4 +452,5 @@ def from_torch_checkpoint(path: str) -> Synthesizer:
     model = build_model(model_cfg)
     return Synthesizer(model, {"params": params},
                        sample_rate=int(cfg.get("data.sample_rate", 22050)),
-                       hop_length=int(cfg.get("data.hop_length", 256)))
+                       hop_length=int(cfg.get("data.hop_length", 256)),
+                       vocoder_backend=vocoder_backend)

@@ -162,12 +162,15 @@ class StreamingSynthesizer:
                                         vocoder_backend=vocoder_backend)
 
         def acoustic(params, ids, lengths, scale):
-            enc, _ = model.apply(params, ids, lengths, True,
-                                 method=lambda m, i, l, d:
-                                 m.text_encoder(i, l, d))
+            enc, mask = model.apply(params, ids, lengths, True,
+                                    method=lambda m, i, l, d:
+                                    m.text_encoder(i, l, d))
             durations = model.apply(params, enc, True,
                                     method=lambda m, e, d:
                                     m.duration_predictor(e, d))
+            # padded phonemes contribute zero frames (matches
+            # M2TTS.acoustic; keeps streaming == batch pipeline)
+            durations = durations * mask.astype(durations.dtype)
             from m2tts_tpu.ops.length_regulator import regulate_lengths
 
             regulated, frame_mask, total = regulate_lengths(

@@ -128,9 +128,11 @@ def build_synthesizer(args):
     from m2tts_tpu.serving import pipeline
 
     if args.checkpoint:
-        return pipeline.from_checkpoint(args.checkpoint)
+        return pipeline.from_checkpoint(
+            args.checkpoint, vocoder_backend=args.vocoder_backend)
     if args.torch_checkpoint:
-        return pipeline.from_torch_checkpoint(args.torch_checkpoint)
+        return pipeline.from_torch_checkpoint(
+            args.torch_checkpoint, vocoder_backend=args.vocoder_backend)
     if args.random_init:
         from m2tts_tpu.utils.config import load_config
 

@@ -65,8 +65,14 @@ def main(argv=None):
               f"{len(long_res['chunks'])} chunks")
         results = [long_res]
     else:
-        results = synth.synthesize_batch(texts, args.duration_scale,
-                                         want_mel=args.griffin_lim)
+        # chunk into bucket-sized groups so a batch file with more lines
+        # than the largest batch bucket still yields one WAV per line
+        max_b = max(synth.batch_buckets)
+        results = []
+        for i in range(0, len(texts), max_b):
+            results.extend(synth.synthesize_batch(
+                texts[i:i + max_b], args.duration_scale,
+                want_mel=args.griffin_lim))
     elapsed = time.perf_counter() - t0
 
     out = Path(args.output)

@@ -177,3 +177,36 @@ def test_warmup_compiles_buckets():
     assert s.warmup() == 2                 # batch 1 x 2 frame buckets
     assert s.warmup(full=True) == 4        # + batch 2 x 2 frame buckets
     assert len(s._synth) == 2              # graph cache keyed by frames
+
+
+def test_full_warmup_covers_every_request_shape():
+    """After warmup(full=True), no reachable (batch, text, frames) request
+    shape triggers a new trace/compile — the exact stall warmup exists to
+    kill (serving pipeline warmup contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from m2tts_tpu.models import M2TTS
+    from m2tts_tpu.serving.pipeline import Synthesizer
+
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    s = Synthesizer(model, params, text_buckets=(8, 16),
+                    frame_buckets=(32, 64), batch_buckets=(1, 2))
+    n = s.warmup(full=True)
+    assert n == 2 * 2 * 2  # batches x texts x frames
+    sizes = {k: fn._cache_size() for k, fn in s._synth.items()}
+    probe_size = s._get_probe()._cache_size()
+
+    # drive every reachable shape through the public API
+    for b, t, frames in s.reachable_shapes(full=True):
+        ids = jnp.zeros((b, t), jnp.int32)
+        lengths = jnp.ones((b,), jnp.int32)
+        s._get_synth(frames, False)(s.params, ids, lengths,
+                                    jnp.asarray(1.0, jnp.float32))
+        s._get_probe()(s.params, ids, lengths,
+                       jnp.asarray(1.0, jnp.float32))
+    assert {k: fn._cache_size() for k, fn in s._synth.items()} == sizes
+    assert s._get_probe()._cache_size() == probe_size
