@@ -60,23 +60,3 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     """Replicate a parameter/optimizer pytree across the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
-
-
-def pad_batch_to_devices(batch: Dict[str, Any], n_devices: int) -> Dict[str, Any]:
-    """Pad the leading batch axis up to a multiple of the data-axis size."""
-    sizes = {v.shape[0] for v in batch.values()
-             if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0}
-    if not sizes:
-        return batch
-    b = max(sizes)
-    rem = (-b) % n_devices
-    if rem == 0:
-        return batch
-    out = {}
-    for k, v in batch.items():
-        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0 and v.shape[0] == b:
-            pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
-            out[k] = np.pad(np.asarray(v), pad)
-        else:
-            out[k] = v
-    return out

@@ -101,9 +101,16 @@ def build_dataset(cfg, keep_audio: bool = False):
             max_mel_length=int(cfg.get("max_mel_length", 1000)),
             keep_audio=keep_audio)
     logger.warning("No data found in %s — using DummyDataset", data_dir)
+    # honor the configured buckets so data-free training compiles and
+    # exercises EVERY bucket graph, not just the smallest
+    buckets = [tuple(b) for b in cfg.get("buckets", [[64, 256]])]
+    max_text = min(int(cfg.get("max_text_length", 256)),
+                   max(t for t, _ in buckets))
+    max_mel = min(int(cfg.get("max_mel_length", 1000)),
+                  max(m for _, m in buckets))
     return DummyDataset(size=256, mel_dim=n_mels,
-                        max_text_length=min(64, int(cfg.get("max_text_length", 256))),
-                        max_mel_length=min(256, int(cfg.get("max_mel_length", 1000))),
+                        max_text_length=max_text,
+                        max_mel_length=max_mel,
                         keep_audio=keep_audio,
                         hop_length=int(cfg.get("hop_length", 256)))
 

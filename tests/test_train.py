@@ -177,3 +177,23 @@ def test_validation_dumps_sample_wavs(tmp_path, dummy_ds):
     assert samples, "no sample WAVs dumped at validation"
     logs = (tmp_path / "out" / "logs" / "metrics.jsonl").read_text()
     assert "val_estimated_mos" in logs
+
+
+def test_build_dataset_datafree_covers_all_buckets(tmp_path):
+    """The data-free fallback must span the configured buckets so every
+    bucket graph compiles in CI, not just the smallest."""
+    from m2tts_tpu.data.dataset import data_iterator
+    from m2tts_tpu.training.trainer import build_dataset
+
+    cfg = Config({"data_dir": str(tmp_path / "nodata"), "n_mels": 8,
+                  "buckets": [[64, 256], [128, 512], [256, 1000]]})
+    ds = build_dataset(cfg)
+    buckets = [(64, 256), (128, 512), (256, 1000)]
+    seen = set()
+    it = data_iterator(ds, 4, buckets, seed=0)
+    for _ in range(64):
+        b = next(it)
+        seen.add((b["phoneme_ids"].shape[1], b["mel"].shape[1]))
+        if len(seen) == len(buckets):
+            break
+    assert seen == set(buckets)
