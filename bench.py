@@ -88,11 +88,16 @@ def main():
         total_audio_sec = 0.0
         for results in synth.synthesize_stream(
                 (texts for _ in range(ITERS)), duration_scale=scale,
-                max_frames=FRAME_BUCKET):
+                max_frames=FRAME_BUCKET, pcm_only=True):
             total_audio_sec += sum(len(r["audio_pcm"])
                                    for r in results) / SAMPLE_RATE
         batched_runs.append(total_audio_sec / (time.perf_counter() - t0))
     throughput = max(batched_runs)
+    batch_wall_best = 1.0 / (max(batched_runs) / total_audio_sec * ITERS)
+
+    # ---- MFU: analytic graph FLOPs (XLA cost model) / wall / chip peak ----
+    mfu, graph_tflops = _mfu_estimate(
+        synth, BATCH, TEXT_BUCKET, FRAME_BUCKET, scale, batch_wall_best)
 
     # ---- single-stream RTF ----
     one = [texts[0]]
@@ -126,6 +131,9 @@ def main():
         "frame_bucket": FRAME_BUCKET,
         "batched_runs": [round(x, 1) for x in batched_runs],
         "rtf_runs": [round(x, 6) for x in rtf_runs],
+        "batched_runs_median": round(sorted(batched_runs)[WINDOWS // 2], 1),
+        "mfu": mfu,
+        "graph_tflops_per_batch": graph_tflops,
         "params": count_parameters(params),
         "vocoder_backend": synth.vocoder_backend,
         "train_steps_per_sec": train_steps_per_sec,
@@ -136,6 +144,49 @@ def main():
     }
     print(json.dumps(result))
     return 0
+
+
+def _mfu_estimate(synth, batch, text_bucket, frame_bucket, scale,
+                  batch_wall_sec):
+    """FLOPs-utilization of the batched synthesize graph.
+
+    FLOPs come from XLA's analytic cost model on the exact compiled graph
+    (`Compiled.cost_analysis()["flops"]`), divided by the measured
+    per-batch wall time and the chip's peak matmul rate. The peak used is
+    the bf16 MXU rate (the canonical MFU denominator for the chip family);
+    this graph runs f32, so the figure is conservative. Returns
+    (mfu, tflops_per_batch), (None, None) when the backend can't report
+    cost analysis."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    PEAK_FLOPS = {  # bf16 dense peak per chip
+        "TPU v5 lite": 197e12,  # v5e
+        "TPU v5": 459e12,       # v5p
+        "TPU v4": 275e12,
+        "TPU v6 lite": 918e12,  # v6e (Trillium)
+    }
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)),
+                None)
+    try:
+        fn = synth._get_synth(frame_bucket, False)
+        packed = synth._pack(np.zeros((batch, text_bucket), np.int32),
+                             np.full((batch,), text_bucket, np.int32))
+        compiled = fn.lower(synth.params, jnp.asarray(packed),
+                            jnp.asarray(scale, jnp.float32)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops <= 0 or not peak or batch_wall_sec <= 0:
+            return None, round(flops / 1e12, 4) if flops > 0 else None
+        return (round(flops / batch_wall_sec / peak, 5),
+                round(flops / 1e12, 4))
+    except Exception as e:
+        print(f"mfu estimate skipped: {e}", file=sys.stderr)
+        return None, None
 
 
 def _bench_training(n_steps: int = 20):

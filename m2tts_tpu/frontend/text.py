@@ -175,8 +175,14 @@ class SimpleG2P:
         self.lexicon = dict(LEXICON)
         if extra_lexicon:
             self.lexicon.update(extra_lexicon)
+        # Serving hot path runs G2P at least twice per utterance (bucket
+        # selection + encoding) on a 1-CPU host; memoize per processor.
+        import functools
 
-    def convert(self, text: str) -> List[str]:
+        self._convert_cached = functools.lru_cache(maxsize=4096)(
+            self._convert)
+
+    def _convert(self, text: str) -> tuple:
         words = normalize_text(text).split()
         phones: List[str] = []
         for word in words:
@@ -185,7 +191,10 @@ class SimpleG2P:
             phones.append("SP")
         if phones and phones[-1] == "SP":
             phones.pop()
-        return ["SIL"] + phones + ["SIL"]
+        return tuple(["SIL"] + phones + ["SIL"])
+
+    def convert(self, text: str) -> List[str]:
+        return list(self._convert_cached(text))
 
 
 class TextProcessor:

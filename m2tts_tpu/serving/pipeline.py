@@ -47,12 +47,36 @@ class Synthesizer:
                  frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
                  batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
                  sample_rate: int = 22050, hop_length: int = 256,
-                 extra_lexicon=None, vocoder_backend: str = "xla"):
+                 extra_lexicon=None, vocoder_backend: str = "xla",
+                 mesh=None):
         """``vocoder_backend``: 'xla' (the Flax module as-is), 'mm' (dense
         matmul reformulation, plain XLA), or 'pallas' (fused VMEM-resident
         kernel; TPU only). All three are numerically equivalent — see
-        tests/test_vocoder_mm.py and tests/test_pallas_vocoder.py."""
+        tests/test_vocoder_mm.py and tests/test_pallas_vocoder.py.
+
+        ``mesh``: optional ('data', 'model') jax.sharding.Mesh for
+        multi-chip serving. Batches shard over 'data' (every batch bucket
+        must divide evenly), parameters follow the Megatron-style TP rules
+        on 'model' (parallel/partition.py; replication at model=1). All
+        synthesis math is per-utterance, so sharded outputs are numerically
+        identical to the single-device path (tests/test_serving_mesh.py).
+        """
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from m2tts_tpu.parallel.mesh import batch_sharding
+            from m2tts_tpu.parallel.partition import shard_tree
+
+            n_data = mesh.shape["data"]
+            bad = [b for b in batch_buckets if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} not divisible by the mesh 'data' "
+                    f"axis ({n_data}); pass batch_buckets that shard evenly")
+            params = shard_tree(params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
         self.params = params
         self.text_buckets = tuple(text_buckets)
         self.frame_buckets = tuple(frame_buckets)
@@ -103,6 +127,10 @@ class Synthesizer:
 
         self._synth = {}  # max_frames -> compiled fn
         self._probe = None  # lazily compiled duration probe
+        # duration_scale values recur across requests; caching the device
+        # scalar avoids one standalone H2D transfer (~30 ms on tunneled
+        # hosts) per dispatch
+        self._scale_cache: Dict[float, jnp.ndarray] = {}
 
     @staticmethod
     def _pallas_available() -> bool:
@@ -134,6 +162,26 @@ class Synthesizer:
         return _PALLAS_OK
 
     # -- jitted graphs ------------------------------------------------------
+    # Compiled graphs take ids and lengths PACKED into one [B, T+1] int32
+    # array (lengths in the last column): one H2D transfer per request
+    # instead of two, and a standalone transfer costs ~30 ms on tunneled
+    # hosts — at batch 32 the payload difference is noise, the round trips
+    # are not.
+    @staticmethod
+    def _pack(ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(ids, np.int32),
+             np.asarray(lengths, np.int32)[:, None]], axis=1)
+
+    def _scale_arr(self, duration_scale) -> jnp.ndarray:
+        key = float(duration_scale)
+        arr = self._scale_cache.get(key)
+        if arr is None:
+            arr = jnp.asarray(key, jnp.float32)
+            if len(self._scale_cache) < 256:
+                self._scale_cache[key] = arr
+        return arr
+
     def _get_probe(self):
         if self._probe is None:
             model = self.model
@@ -147,7 +195,8 @@ class Synthesizer:
                 return durations * mask.astype(durations.dtype)
 
             @jax.jit
-            def probe(params, ids, lengths, duration_scale):
+            def probe(params, packed, duration_scale):
+                ids, lengths = packed[:, :-1], packed[:, -1]
                 durations = model.apply(params, ids, lengths, method=inner)
                 frames = jnp.floor(durations * duration_scale).astype(jnp.int32)
                 return jnp.maximum(frames, 0).sum(axis=1)
@@ -164,7 +213,8 @@ class Synthesizer:
             model = self.model
             vocoder_fn = self._vocoder_fn
 
-            def fn(p, ids, lengths, scale):
+            def fn(p, packed, scale):
+                ids, lengths = packed[:, :-1], packed[:, -1]
                 if vocoder_fn is None:
                     out = model.apply(p, ids, lengths, duration_scale=scale,
                                       max_frames=max_frames,
@@ -186,12 +236,19 @@ class Synthesizer:
         return self._synth[key]
 
     # -- public API ---------------------------------------------------------
+    def _put(self, arr) -> jnp.ndarray:
+        """Batch array → device: sharded over the mesh 'data' axis when a
+        mesh is configured, plain transfer otherwise."""
+        if self._batch_sharding is not None:
+            return jax.device_put(arr, self._batch_sharding)
+        return jnp.asarray(arr)
+
     def predict_frames(self, ids: np.ndarray, lengths: np.ndarray,
                        duration_scale: float = 1.0) -> np.ndarray:
         probe = self._get_probe()
-        return np.asarray(probe(self.params, jnp.asarray(ids),
-                                jnp.asarray(lengths),
-                                jnp.asarray(duration_scale, jnp.float32)))
+        return np.asarray(probe(self.params,
+                                self._put(self._pack(ids, lengths)),
+                                self._scale_arr(duration_scale)))
 
     def _encode_batch(self, texts: List[str]):
         n = len(texts)
@@ -216,17 +273,19 @@ class Synthesizer:
                 max_frames: Optional[int], want_mel: bool):
         """Dispatch the compiled graph; returns (device outputs, max_frames)."""
         ids, lengths = self._encode_batch(texts)
+        packed = self._put(self._pack(ids, lengths))
         if max_frames is None:
-            totals = self.predict_frames(ids, lengths, duration_scale)
+            probe = self._get_probe()
+            totals = np.asarray(probe(self.params, packed,
+                                      self._scale_arr(duration_scale)))
             max_frames = _bucket_for(int(totals[: len(texts)].max()),
                                      self.frame_buckets)
         fn = self._get_synth(max_frames, want_mel)
-        out = fn(self.params, jnp.asarray(ids), jnp.asarray(lengths),
-                 jnp.asarray(duration_scale, jnp.float32))
+        out = fn(self.params, packed, self._scale_arr(duration_scale))
         return out, max_frames
 
-    def _collect(self, out, max_frames: int, n: int, want_mel: bool
-                 ) -> List[Dict[str, np.ndarray]]:
+    def _collect(self, out, max_frames: int, n: int, want_mel: bool,
+                 pcm_only: bool = False) -> List[Dict[str, np.ndarray]]:
         # one device_get for the whole output dict: the fetches run
         # concurrently under a single sync, instead of paying one
         # host↔device round trip per array (which dominates latency on
@@ -238,12 +297,13 @@ class Synthesizer:
         results = []
         for i in range(n):
             frames = int(min(totals[i], max_frames))
-            res = {
-                "audio_pcm": pcm[i, : frames * self.upsample],
-                "audio": pcm[i, : frames * self.upsample].astype(np.float32)
-                / 32767.0,
-                "frames": frames,
-            }
+            trimmed = pcm[i, : frames * self.upsample]
+            res = {"audio_pcm": trimmed, "frames": frames}
+            if not pcm_only:
+                # int16→float32 costs one full pass over the waveform per
+                # utterance on the (single) host CPU; bulk consumers that
+                # only need PCM skip it
+                res["audio"] = trimmed.astype(np.float32) / 32767.0
             if want_mel:
                 res["mel"] = mel[i, :frames]
             results.append(res)
@@ -265,21 +325,23 @@ class Synthesizer:
     def synthesize_stream(self, batches: Iterable[List[str]],
                           duration_scale: float = 1.0,
                           max_frames: Optional[int] = None,
-                          want_mel: bool = False
+                          want_mel: bool = False, pcm_only: bool = False
                           ) -> Iterator[List[Dict[str, np.ndarray]]]:
         """Pipelined bulk synthesis: batch i+1 is dispatched before batch
         i's results are fetched, overlapping device compute with the
-        device→host copy (double buffering)."""
+        device→host copy (double buffering). ``pcm_only`` skips the
+        per-utterance float32 waveform (bulk PCM consumers)."""
         pending = None  # (out, max_frames, n)
         for texts in batches:
             launched = (*self._launch(texts, duration_scale, max_frames,
                                       want_mel), len(texts))
             if pending is not None:
                 yield self._collect(pending[0], pending[1], pending[2],
-                                    want_mel)
+                                    want_mel, pcm_only)
             pending = launched
         if pending is not None:
-            yield self._collect(pending[0], pending[1], pending[2], want_mel)
+            yield self._collect(pending[0], pending[1], pending[2], want_mel,
+                                pcm_only)
 
     def synthesize(self, text: str, duration_scale: float = 1.0,
                    want_mel: bool = False) -> Dict[str, np.ndarray]:
@@ -370,10 +432,12 @@ class Synthesizer:
     def reachable_shapes(self, full: bool = True):
         """Every (batch, text, frames) compile shape a request can select.
 
-        ``full=False`` restricts to the single-stream path (batch 1)."""
+        ``full=False`` restricts to the single-stream path (the smallest
+        batch bucket — batch 1 unless a mesh forces a larger one)."""
+        single = min(self.batch_buckets) if self.mesh is not None else 1
         batches = list(self.batch_buckets) if full else []
-        if 1 not in batches:
-            batches = [1] + batches
+        if single not in batches:
+            batches = [single] + batches
         return [(b, t, f) for b in batches for t in self.text_buckets
                 for f in self.frame_buckets]
 
@@ -387,19 +451,19 @@ class Synthesizer:
         post-warmup request pays a first compile
         (tests/test_serving.py::test_full_warmup_covers_every_request_shape).
         """
-        scale = jnp.asarray(1.0, jnp.float32)
+        scale = self._scale_arr(1.0)
         probe = self._get_probe()
         n = 0
         seen_bt = set()
         for b, t, frames in self.reachable_shapes(full):
-            ids = jnp.zeros((b, t), jnp.int32)
-            lengths = jnp.ones((b,), jnp.int32)
+            packed = self._put(self._pack(np.zeros((b, t), np.int32),
+                                          np.ones((b,), np.int32)))
             if (b, t) not in seen_bt:  # probe compiles per (batch, text)
                 seen_bt.add((b, t))
-                jax.block_until_ready(probe(self.params, ids, lengths, scale))
+                jax.block_until_ready(probe(self.params, packed, scale))
             fn = self._get_synth(frames, want_mel)
             jax.block_until_ready(
-                fn(self.params, ids, lengths, scale)["pcm"])
+                fn(self.params, packed, scale)["pcm"])
             n += 1
         return n
 

@@ -200,13 +200,13 @@ def test_full_warmup_covers_every_request_shape():
     sizes = {k: fn._cache_size() for k, fn in s._synth.items()}
     probe_size = s._get_probe()._cache_size()
 
-    # drive every reachable shape through the public API
+    # drive every reachable shape through the compiled-graph signature
     for b, t, frames in s.reachable_shapes(full=True):
-        ids = jnp.zeros((b, t), jnp.int32)
-        lengths = jnp.ones((b,), jnp.int32)
-        s._get_synth(frames, False)(s.params, ids, lengths,
+        packed = jnp.concatenate(
+            [jnp.zeros((b, t), jnp.int32), jnp.ones((b, 1), jnp.int32)],
+            axis=1)
+        s._get_synth(frames, False)(s.params, packed,
                                     jnp.asarray(1.0, jnp.float32))
-        s._get_probe()(s.params, ids, lengths,
-                       jnp.asarray(1.0, jnp.float32))
+        s._get_probe()(s.params, packed, jnp.asarray(1.0, jnp.float32))
     assert {k: fn._cache_size() for k, fn in s._synth.items()} == sizes
     assert s._get_probe()._cache_size() == probe_size
