@@ -127,6 +127,9 @@ class Synthesizer:
 
         self._synth = {}  # max_frames -> compiled fn
         self._probe = None  # lazily compiled duration probe
+        # factory constructors attach the full Config here so downstream
+        # tools (scripts/evaluate.py) can rebuild matching data processors
+        self.config: Optional[Config] = None
         # duration_scale values recur across requests; caching the device
         # scalar avoids one standalone H2D transfer (~30 ms on tunneled
         # hosts) per dispatch
@@ -481,10 +484,12 @@ def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:
     lengths = jnp.array([16], jnp.int32)
     from m2tts_tpu.models import init_params
     params = init_params(model, rng, ids, lengths, max_frames=64, run_vocoder=True)
-    return Synthesizer(model, params,
-                       sample_rate=int(config.get("data.sample_rate", 22050)),
-                       hop_length=int(config.get("data.hop_length", 256)),
-                       vocoder_backend=vocoder_backend)
+    synth = Synthesizer(model, params,
+                        sample_rate=int(config.get("data.sample_rate", 22050)),
+                        hop_length=int(config.get("data.hop_length", 256)),
+                        vocoder_backend=vocoder_backend)
+    synth.config = config
+    return synth
 
 
 def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None,
@@ -494,10 +499,12 @@ def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None,
 
     params, config, _ = load_for_inference(checkpoint_dir, step)
     model = build_model(config.model)
-    return Synthesizer(model, params,
-                       sample_rate=int(config.get("data.sample_rate", 22050)),
-                       hop_length=int(config.get("data.hop_length", 256)),
-                       vocoder_backend=vocoder_backend)
+    synth = Synthesizer(model, params,
+                        sample_rate=int(config.get("data.sample_rate", 22050)),
+                        hop_length=int(config.get("data.hop_length", 256)),
+                        vocoder_backend=vocoder_backend)
+    synth.config = config
+    return synth
 
 
 def from_torch_checkpoint(path: str,
@@ -514,7 +521,9 @@ def from_torch_checkpoint(path: str,
     model_cfg = cfg.get("model", Config())
     model_cfg.set("duration_predictor.norm", "batch")
     model = build_model(model_cfg)
-    return Synthesizer(model, {"params": params},
-                       sample_rate=int(cfg.get("data.sample_rate", 22050)),
-                       hop_length=int(cfg.get("data.hop_length", 256)),
-                       vocoder_backend=vocoder_backend)
+    synth = Synthesizer(model, {"params": params},
+                        sample_rate=int(cfg.get("data.sample_rate", 22050)),
+                        hop_length=int(cfg.get("data.hop_length", 256)),
+                        vocoder_backend=vocoder_backend)
+    synth.config = cfg
+    return synth

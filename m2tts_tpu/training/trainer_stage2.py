@@ -152,6 +152,19 @@ class Stage2Trainer:
                 t = optax.MultiSteps(t, every_k_schedule=accum)
             return t
 
+        # warm-start the generator from a stage-1 (or earlier stage-2)
+        # checkpoint: the standard two-stage workflow. Beyond-reference:
+        # the reference stage-2 can only resume its own checkpoints
+        # (training/train_stage2.py:419-440), never start from stage-1.
+        init_from = tcfg.get("init_generator_from")
+        if init_from:
+            from m2tts_tpu.utils.checkpoint import load_for_inference
+
+            variables, _, from_step = load_for_inference(init_from)
+            g_vars = {"params": variables["params"]}
+            logger.info("Generator warm-started from %s (step %d)",
+                        init_from, from_step)
+
         self.g_state = shard_tree(train_state.TrainState.create(
             apply_fn=self.model.apply, params=g_vars["params"], tx=tx(tcfg)),
             self.mesh)

@@ -183,3 +183,30 @@ def test_stage2_validate_quality_and_determinism(tmp_path, dummy_ds):
     samples = list((tmp_path / "out" / "samples").glob("*.wav"))
     assert samples
     trainer.close()
+
+
+def test_generator_warm_start_from_stage1(tmp_path, dummy_ds):
+    """training.init_generator_from loads stage-1 params into the stage-2
+    generator (beyond reference: its stage-2 can only resume itself)."""
+    from m2tts_tpu.training.trainer import Stage1Trainer
+    from m2tts_tpu.utils.config import Config
+
+    s1_cfg = stage2_config(tmp_path / "s1", max_steps=2, save_every=2)
+    t1 = Stage1Trainer(s1_cfg, dataset=dummy_ds)
+    t1.train()
+    trained = jax.device_get(t1.state.params)
+    t1.close()
+
+    cfg = stage2_config(tmp_path / "s2", max_steps=1)
+    cfg.set("training.init_generator_from",
+            s1_cfg.get("paths.checkpoint_dir"))
+    t2 = Stage2Trainer(cfg, dataset=dummy_ds)
+    warm = jax.device_get(t2.g_state.params)
+    fresh = Stage2Trainer(stage2_config(tmp_path / "s3", max_steps=1),
+                          dataset=dummy_ds)
+    cold = jax.device_get(fresh.g_state.params)
+    leaf = lambda p: p["text_encoder"]["embedding"]["embedding"]
+    np.testing.assert_allclose(leaf(warm), leaf(trained))
+    assert not np.allclose(leaf(warm), leaf(cold))
+    t2.close()
+    fresh.close()
