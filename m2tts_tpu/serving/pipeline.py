@@ -471,7 +471,8 @@ class Synthesizer:
         return n
 
 
-def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:
+def from_config(config, rng=None, vocoder_backend: str = "xla",
+                **kwargs) -> Synthesizer:
     """Synthesizer with freshly initialized (untrained) params from a config.
 
     Used by smoke tests and benchmarks that exercise the compiled serving
@@ -487,13 +488,13 @@ def from_config(config, rng=None, vocoder_backend: str = "xla") -> Synthesizer:
     synth = Synthesizer(model, params,
                         sample_rate=int(config.get("data.sample_rate", 22050)),
                         hop_length=int(config.get("data.hop_length", 256)),
-                        vocoder_backend=vocoder_backend)
+                        vocoder_backend=vocoder_backend, **kwargs)
     synth.config = config
     return synth
 
 
 def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None,
-                    vocoder_backend: str = "xla") -> Synthesizer:
+                    vocoder_backend: str = "xla", **kwargs) -> Synthesizer:
     """Build a Synthesizer from a self-describing checkpoint directory."""
     from m2tts_tpu.utils.checkpoint import load_for_inference
 
@@ -502,13 +503,13 @@ def from_checkpoint(checkpoint_dir: str, step: Optional[int] = None,
     synth = Synthesizer(model, params,
                         sample_rate=int(config.get("data.sample_rate", 22050)),
                         hop_length=int(config.get("data.hop_length", 256)),
-                        vocoder_backend=vocoder_backend)
+                        vocoder_backend=vocoder_backend, **kwargs)
     synth.config = config
     return synth
 
 
-def from_torch_checkpoint(path: str,
-                          vocoder_backend: str = "xla") -> Synthesizer:
+def from_torch_checkpoint(path: str, vocoder_backend: str = "xla",
+                          **kwargs) -> Synthesizer:
     """Build a Synthesizer directly from a reference torch checkpoint.
 
     Converted checkpoints always use the BatchNorm-compat duration
@@ -524,6 +525,6 @@ def from_torch_checkpoint(path: str,
     synth = Synthesizer(model, {"params": params},
                         sample_rate=int(cfg.get("data.sample_rate", 22050)),
                         hop_length=int(cfg.get("data.hop_length", 256)),
-                        vocoder_backend=vocoder_backend)
+                        vocoder_backend=vocoder_backend, **kwargs)
     synth.config = cfg
     return synth

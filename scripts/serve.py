@@ -127,17 +127,28 @@ def make_handler(synth, info):
 def build_synthesizer(args):
     from m2tts_tpu.serving import pipeline
 
+    kwargs = {}
+    n = int(getattr(args, "data_parallel", 1) or 1)
+    if n > 1:
+        # multi-chip serving: shard the batch axis over a pure-data mesh;
+        # batch buckets must divide by the mesh, so scale the default set
+        from m2tts_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(data=n)
+        kwargs["batch_buckets"] = (n, 4 * n, 16 * n)
     if args.checkpoint:
         return pipeline.from_checkpoint(
-            args.checkpoint, vocoder_backend=args.vocoder_backend)
+            args.checkpoint, vocoder_backend=args.vocoder_backend, **kwargs)
     if args.torch_checkpoint:
         return pipeline.from_torch_checkpoint(
-            args.torch_checkpoint, vocoder_backend=args.vocoder_backend)
+            args.torch_checkpoint, vocoder_backend=args.vocoder_backend,
+            **kwargs)
     if args.random_init:
         from m2tts_tpu.utils.config import load_config
 
         return pipeline.from_config(load_config(args.config),
-                                    vocoder_backend=args.vocoder_backend)
+                                    vocoder_backend=args.vocoder_backend,
+                                    **kwargs)
     raise SystemExit("one of --checkpoint / --torch-checkpoint / "
                      "--random-init is required")
 
@@ -150,6 +161,9 @@ def main(argv=None):
                    help="untrained demo model from --config")
     p.add_argument("--config", type=str, default="configs/flagship_tpu.yaml")
     p.add_argument("--vocoder-backend", type=str, default="auto")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                   help="shard request batches over an N-chip 'data' mesh "
+                        "(requires N visible devices)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warmup", action="store_true",

@@ -106,3 +106,50 @@ def test_paired_files_ingest(tmp_path):
     ds = TTSDataset(tmp_path, keep_audio=False)
     assert len(ds) == 1
     assert "audio" not in ds[0]
+
+
+def test_collate_truncates_overlong_samples():
+    """Samples beyond the cap bucket are clipped to it, lengths clamped."""
+    ds = DummyDataset(size=6, mel_dim=8, max_text_length=60,
+                      max_mel_length=400, seed=1)
+    bucket = (20, 100)
+    batch = collate([ds[i] for i in range(4)], bucket)
+    assert batch["phoneme_ids"].shape == (4, 20)
+    assert batch["mel"].shape == (4, 100, 8)
+    assert (batch["text_lengths"] <= 20).all()
+    assert (batch["mel_lengths"] <= 100).all()
+
+
+def test_make_batches_drop_last_false_pads_by_cycling():
+    ds = DummyDataset(size=10, mel_dim=8, max_text_length=40,
+                      max_mel_length=150, seed=0)
+    buckets = [(64, 256)]
+    full = list(make_batches(ds, 4, buckets, seed=0, drop_last=False))
+    dropped = list(make_batches(ds, 4, buckets, seed=0, drop_last=True))
+    assert len(full) == len(dropped) + 1  # 10 = 2 full + 1 padded
+    assert all(b["phoneme_ids"].shape[0] == 4 for b in full)
+
+
+def test_create_dataloader_reiterates_fresh_epochs():
+    from m2tts_tpu.data.dataset import create_dataloader
+
+    ds = DummyDataset(size=16, mel_dim=8, max_text_length=40,
+                      max_mel_length=150, seed=0)
+    dl = create_dataloader(ds, batch_size=4, buckets=[(64, 256)], seed=0)
+    e1 = list(dl)
+    e2 = list(dl)
+    assert len(e1) == len(dl) == 4
+    # different epoch -> different shuffle order (same content overall)
+    assert not all(np.array_equal(a["phoneme_ids"], b["phoneme_ids"])
+                   for a, b in zip(e1, e2))
+
+
+def test_data_iterator_pads_tiny_datasets():
+    """Dataset smaller than one batch still yields full fixed-shape
+    batches (pad-repeat), and stays infinite."""
+    ds = DummyDataset(size=3, mel_dim=8, max_text_length=40,
+                      max_mel_length=150, seed=0)
+    it = data_iterator(ds, 8, [(64, 256)], seed=0)
+    for _ in range(4):
+        b = next(it)
+        assert b["phoneme_ids"].shape[0] == 8
