@@ -254,8 +254,14 @@ class TTSDataset:
 
     # -- ingest ---------------------------------------------------------------
     def _cache_file(self) -> Path:
+        # the tag must cover EVERY parameter that changes the cached mels
+        # (or the audio policy) — a collision silently serves stale
+        # features computed with different STFT settings
         ap = self.audio_processor
-        tag = (f"{ap.n_mels}m_{ap.hop_length}h_{ap.sample_rate}sr_"
+        fmax = "none" if ap.fmax is None else f"{float(ap.fmax):g}"
+        tag = (f"{ap.n_mels}m_{ap.n_fft}fft_{ap.hop_length}h_"
+               f"{ap.win_length}w_{ap.sample_rate}sr_"
+               f"{float(ap.fmin):g}lo_{fmax}hi_"
                f"{self.max_text_length}t_{self.max_mel_length}f"
                + ("_audio" if self.keep_audio else ""))
         return self.cache_dir / f"processed_{tag}.pkl"

@@ -370,6 +370,25 @@ class AudioProcessor:
                 if use_native is True:
                     raise
 
+    @classmethod
+    def from_config(cls, data_cfg) -> "AudioProcessor":
+        """Build from a config ``data`` group (the 5-group YAML schema).
+
+        The single mapping from config keys to DSP parameters — trainers
+        and evaluation must construct their processors through this so a
+        new mel key can never diverge between training and eval features.
+        """
+        if data_cfg is None:
+            return cls()
+        get = data_cfg.get
+        return cls(sample_rate=int(get("sample_rate", DEFAULT_SAMPLE_RATE)),
+                   n_fft=int(get("n_fft", DEFAULT_N_FFT)),
+                   hop_length=int(get("hop_length", DEFAULT_HOP)),
+                   win_length=int(get("win_length", DEFAULT_WIN)),
+                   n_mels=int(get("n_mels", DEFAULT_N_MELS)),
+                   fmin=float(get("fmin", 0)),
+                   fmax=get("fmax"))
+
     def compute_mel(self, audio: np.ndarray) -> np.ndarray:
         if self._native is not None:
             try:

@@ -435,9 +435,10 @@ class Synthesizer:
     def reachable_shapes(self, full: bool = True):
         """Every (batch, text, frames) compile shape a request can select.
 
-        ``full=False`` restricts to the single-stream path (the smallest
-        batch bucket — batch 1 unless a mesh forces a larger one)."""
-        single = min(self.batch_buckets) if self.mesh is not None else 1
+        ``full=False`` restricts to the single-stream path — the smallest
+        batch bucket. (_encode_batch pads every request to a bucket, so
+        batch 1 is only a reachable shape when 1 is itself a bucket.)"""
+        single = min(self.batch_buckets)
         batches = list(self.batch_buckets) if full else []
         if single not in batches:
             batches = [single] + batches

@@ -87,13 +87,7 @@ def build_dataset(cfg, keep_audio: bool = False):
         (data_dir / "metadata.csv").exists()
         or next(data_dir.glob("**/*.wav"), None) is not None)
     if has_data:
-        ap = AudioProcessor(
-            sample_rate=int(cfg.get("sample_rate", 22050)),
-            n_fft=int(cfg.get("n_fft", 1024)),
-            hop_length=int(cfg.get("hop_length", 256)),
-            win_length=int(cfg.get("win_length", 1024)),
-            n_mels=n_mels, fmin=float(cfg.get("fmin", 0)),
-            fmax=cfg.get("fmax"))
+        ap = AudioProcessor.from_config(cfg)
         return TTSDataset(
             data_dir, audio_processor=ap,
             subset_size=cfg.get("subset_size"),
@@ -188,8 +182,10 @@ class Stage1Trainer:
         # state (donate_argnums=(0,)), so a failed dispatch can leave
         # self.state's buffers deleted — the torch-style "just continue"
         # guard would then crash on 'Array has been deleted'. Refreshed
-        # at every checkpoint save.
-        self._oom_snapshot = self._host_state_copy()
+        # at every checkpoint save and at resume; stored with its step so
+        # a restore also rewinds the loop counter (params and step must
+        # never diverge in checkpoints/metrics).
+        self._oom_snapshot = (self._host_state_copy(), 0)
 
     @property
     def sample_validator(self):
@@ -209,16 +205,20 @@ class Stage1Trainer:
         """Make self.state usable again after a failed (donating) dispatch.
 
         If the donated buffers survived, keep them (no progress lost);
-        otherwise restore the last host snapshot (params/opt_state as of
-        the last checkpoint)."""
+        otherwise restore the last host snapshot AND rewind the loop step
+        to it — continuing with the crashed step counter would mislabel
+        every subsequent checkpoint/metric with progress the params never
+        received."""
         leaves = jax.tree_util.tree_leaves(self.state)
         deleted = any(getattr(x, "is_deleted", lambda: False)()
                       for x in leaves)
         if deleted:
+            snap_state, snap_step = self._oom_snapshot
             logger.warning("Donated state was invalidated by the failed "
                            "step — restoring last snapshot (step %d)",
-                           int(self._oom_snapshot.step))
-            self.state = shard_tree(self._oom_snapshot, self.mesh)
+                           snap_step)
+            self.state = shard_tree(snap_state, self.mesh)
+            self.step = snap_step
 
     # -- compiled steps ------------------------------------------------------
     def _loss_fn(self, params, batch, rng, deterministic):
@@ -282,6 +282,9 @@ class Stage1Trainer:
                                    opt_state=restored["opt_state"],
                                    step=step), self.mesh)
             self.step = step
+            # refresh the OOM snapshot: recovery must roll back to the
+            # resumed params, not the __init__-time random init
+            self._oom_snapshot = (self._host_state_copy(), step)
             logger.info("Resumed from step %d", step)
 
         from m2tts_tpu.data.prefetch import DevicePrefetcher
@@ -358,7 +361,7 @@ class Stage1Trainer:
         if self.step == 0:
             return
         host_state = self._host_state_copy()
-        self._oom_snapshot = host_state
+        self._oom_snapshot = (host_state, self.step)
         self.ckpt.save(self.step,
                        {"params": host_state.params,
                         "opt_state": host_state.opt_state,

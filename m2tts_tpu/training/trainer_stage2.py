@@ -195,8 +195,10 @@ class Stage2Trainer:
         self.step = 0
         # OOM-recovery snapshots: both compiled steps donate their state,
         # so a failed dispatch can leave g_state/d_state buffers deleted.
-        # Refreshed at every checkpoint save (mirrors stage-1).
-        self._oom_snapshot = self._host_states_copy()
+        # Refreshed at every checkpoint save and at restore; stored with
+        # the loop step so recovery rewinds params and counter together
+        # (mirrors stage-1).
+        self._oom_snapshot = (*self._host_states_copy(), 0)
         # quality validation (evaluator sweep + eval-text MOS) and periodic
         # sample generation, both reference behaviors (train_stage2.py)
         self.validate_quality = bool(tcfg.get("validate_quality", True))
@@ -209,13 +211,14 @@ class Stage2Trainer:
         return jax.device_get((self.g_state, self.d_state))
 
     def _recover_after_oom(self) -> None:
-        g, d = self._oom_snapshot
+        g, d, snap_step = self._oom_snapshot
         leaves = jax.tree_util.tree_leaves((self.g_state, self.d_state))
         if any(getattr(x, "is_deleted", lambda: False)() for x in leaves):
             logger.warning("Donated state invalidated by the failed step — "
-                           "restoring snapshot (step %d)", int(g.step))
+                           "restoring snapshot (step %d)", snap_step)
             self.g_state = shard_tree(g, self.mesh)
             self.d_state = shard_tree(d, self.mesh)
+            self.step = snap_step
 
     # -- shared forward pieces -------------------------------------------------
     def _cast(self, params):
@@ -376,20 +379,33 @@ class Stage2Trainer:
                     logger.info("step %d: %s", self.step,
                                 {k: round(v, 4) for k, v in metrics.items()})
                     last = metrics
+                ran_quality_pass = False
                 if self.step % self.validate_every == 0:
                     val = self.validate()
+                    ran_quality_pass = self.validate_quality
                     self.metrics.log({f"val_{k}": v for k, v in val.items()},
                                      self.step)
-                    # early stop on -MOS when the quality pass produced one
-                    # (reference train_stage2.py:480-485); else mel loss
-                    score = (-val["estimated_mos"]
-                             if "estimated_mos" in val
-                             else val.get("mel_loss", float("inf")))
-                    if self.early_stopping(score):
+                    # Early stop on ONE consistent metric: -MOS when the
+                    # quality pass is enabled (reference
+                    # train_stage2.py:480-485), mel loss otherwise. Mixing
+                    # the two scales across validations (e.g. when a
+                    # quality pass transiently fails and MOS is absent)
+                    # would make the patience counter meaningless, so a
+                    # MOS-less validation under validate_quality skips the
+                    # early-stopping update entirely.
+                    if self.validate_quality:
+                        score = -val["estimated_mos"] \
+                            if "estimated_mos" in val else None
+                    else:
+                        score = val.get("mel_loss")
+                    if score is not None and self.early_stopping(score):
                         logger.info("Early stopping at step %d", self.step)
                         break
                 if (self.generate_samples_every
-                        and self.step % self.generate_samples_every == 0):
+                        and self.step % self.generate_samples_every == 0
+                        and not ran_quality_pass):
+                    # the quality pass above already synthesized + dumped
+                    # the eval texts for this step; don't do it twice
                     self.sample_validator.run(
                         {"params": self.g_state.params}, self.step)
                 if self.step % self.save_every == 0:
@@ -471,7 +487,7 @@ class Stage2Trainer:
         if self.step == 0:
             return
         g, d = self._host_states_copy()
-        self._oom_snapshot = (g, d)
+        self._oom_snapshot = (g, d, self.step)
         self.ckpt.save(self.step, {
             "generator": g.params, "g_opt_state": g.opt_state,
             "discriminator": d.params, "d_opt_state": d.opt_state,
@@ -492,6 +508,9 @@ class Stage2Trainer:
             params=restored["discriminator"], opt_state=restored["d_opt_state"],
             step=step), self.mesh)
         self.step = step
+        # refresh the OOM snapshot so recovery rolls back to the resumed
+        # params, not the __init__-time init
+        self._oom_snapshot = (*self._host_states_copy(), step)
         logger.info("Resumed stage-2 from step %d", step)
 
     def close(self):

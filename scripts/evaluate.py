@@ -67,15 +67,8 @@ def main(argv=None):
         # the dataset's mel settings must match the CHECKPOINT's model
         # (n_mels etc.), not the AudioProcessor defaults — the factories
         # attach the checkpoint config for exactly this
-        dcfg = synth.config.get("data") if synth.config else None
-        ap = AudioProcessor(
-            sample_rate=int(dcfg.get("sample_rate", 22050)),
-            n_fft=int(dcfg.get("n_fft", 1024)),
-            hop_length=int(dcfg.get("hop_length", 256)),
-            win_length=int(dcfg.get("win_length", 1024)),
-            n_mels=int(dcfg.get("n_mels", 64)),
-            fmin=float(dcfg.get("fmin", 0)),
-            fmax=dcfg.get("fmax")) if dcfg else AudioProcessor()
+        ap = AudioProcessor.from_config(
+            synth.config.get("data") if synth.config else None)
         ds = TTSDataset(args.data_dir, audio_processor=ap)
         batches = make_batches(ds, args.batch_size,
                                buckets=[(64, 256), (128, 512), (256, 1024)],

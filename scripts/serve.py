@@ -169,8 +169,11 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="compile the single-stream buckets before serving")
     p.add_argument("--warmup-all", action="store_true",
-                   help="also compile the largest batch bucket (slower start, "
-                        "no first-request compile stalls)")
+                   help="pre-compile EVERY reachable (batch x text x frame) "
+                        "bucket combination plus duration probes — no "
+                        "request ever pays a first compile, but startup can "
+                        "take many minutes (each graph is 4-30s on tunneled "
+                        "TPU hosts)")
     args = p.parse_args(argv)
 
     import jax

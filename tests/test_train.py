@@ -197,3 +197,32 @@ def test_build_dataset_datafree_covers_all_buckets(tmp_path):
         if len(seen) == len(buckets):
             break
     assert seen == set(buckets)
+
+
+def test_oom_snapshot_refreshed_on_resume_and_rewinds_step(tmp_path, dummy_ds):
+    """Resume must refresh the OOM snapshot (not keep random-init params),
+    and a rollback must rewind the loop step with the params."""
+    cfg = tiny_config(tmp_path, max_steps=4, save_every=2)
+    t1 = Stage1Trainer(cfg, dataset=dummy_ds)
+    t1.train()
+    t1.close()
+
+    t2 = Stage1Trainer(tiny_config(tmp_path, max_steps=4, save_every=100),
+                       dataset=dummy_ds)
+    t2.train(resume=True)  # max_steps already reached: resume + exit
+    snap_state, snap_step = t2._oom_snapshot
+    assert snap_step == 4
+    # the snapshot holds the RESUMED params, not the __init__ random init
+    resumed = jax.device_get(t2.state.params)
+    a = snap_state.params["text_encoder"]["embedding"]["embedding"]
+    b = resumed["text_encoder"]["embedding"]["embedding"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # simulate a donating dispatch that invalidated the state mid-run
+    for leaf in jax.tree_util.tree_leaves(t2.state):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    t2.step = 99
+    t2._recover_after_oom()
+    assert t2.step == 4  # params and counter rewind together
+    t2.close()
