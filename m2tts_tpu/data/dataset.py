@@ -375,7 +375,8 @@ class DummyDataset:
     def __init__(self, size: int = 100, mel_dim: int = 64,
                  max_text_length: int = 50, max_mel_length: int = 200,
                  seed: int = 0, vocab_size: int = 64,
-                 keep_audio: bool = True, hop_length: int = 256):
+                 keep_audio: bool = True, hop_length: int = 256,
+                 cache: bool = True):
         self.size = int(size)
         self.mel_dim = int(mel_dim)
         self.max_text_length = int(max_text_length)
@@ -384,11 +385,18 @@ class DummyDataset:
         self.vocab_size = int(vocab_size)
         self.keep_audio = bool(keep_audio)
         self.hop_length = int(hop_length)
+        # Regenerating the mel + waveform arrays on every access costs
+        # ~100x a dict lookup and dominated data-free train steps;
+        # samples are pure functions of (seed, idx), so memoize.
+        self._cache: Optional[Dict[int, Dict[str, Any]]] = (
+            {} if cache else None)
 
     def __len__(self) -> int:
         return self.size
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng([self.seed, int(idx)])
         text_low = min(10, max(self.max_text_length - 1, 1))
         mel_low = min(50, max(self.max_mel_length - 1, 1))
@@ -410,4 +418,6 @@ class DummyDataset:
         if self.keep_audio:
             sample["audio"] = (0.1 * rng.standard_normal(
                 mel_len * self.hop_length)).astype(np.float32)
+        if self._cache is not None:
+            self._cache[idx] = sample
         return sample

@@ -131,6 +131,16 @@ class Stage1Trainer:
         td = tcfg.get("transfer_dtype", None)
         self.transfer_dtype = jnp.bfloat16 if td in ("bfloat16", "bf16") else (
             jnp.float16 if td in ("float16", "fp16") else None)
+        # Device-resident data cache: stage the whole (bucketed, collated)
+        # dataset in HBM once and pay ZERO per-step H2D — the train step
+        # is H2D-bound on tunneled/PCIe hosts (measured: 42 steps/s pure
+        # dispatch vs 13 steps/s with per-step transfers at the (128,512)
+        # bucket). Trade-off: batch composition is fixed across epochs
+        # (only the batch ORDER reshuffles); falls back to streaming when
+        # the dataset exceeds the HBM budget.
+        self.device_data_cache = bool(tcfg.get("device_data_cache", False))
+        self.device_cache_max_gb = float(
+            tcfg.get("device_data_cache_max_gb", 4.0))
 
         self.mesh = mesh or make_mesh(
             int(config.get("system.mesh.data", -1)),
@@ -270,6 +280,41 @@ class Stage1Trainer:
             out[k] = jax.device_put(v, sharding)
         return out
 
+    def _device_cached_iterator(self):
+        """Infinite iterator over HBM-resident batches (one H2D, ever).
+
+        Collates one full epoch (drop_last=False: every sample included),
+        places each fixed-shape batch on the mesh once, then yields them
+        in a fresh shuffled ORDER each epoch. Returns None (streaming
+        fallback) when the staged bytes would exceed the configured HBM
+        budget."""
+        host_batches = list(make_batches(
+            self.dataset, self.batch_size, self.buckets, seed=self.seed,
+            shuffle=True, drop_last=False))
+        nbytes = sum(v.nbytes for b in host_batches for v in b.values()
+                     if hasattr(v, "nbytes"))
+        if self.transfer_dtype is not None:
+            nbytes //= 2  # mel halves at the transfer dtype
+        if nbytes > self.device_cache_max_gb * 1e9:
+            logger.warning(
+                "device_data_cache: dataset needs ~%.2f GB > budget %.1f GB"
+                " — falling back to streaming", nbytes / 1e9,
+                self.device_cache_max_gb)
+            return None
+        device_batches = [self._put(b) for b in host_batches]
+        logger.info("device_data_cache: %d batches (%.1f MB) staged in HBM",
+                    len(device_batches), nbytes / 1e6)
+
+        def gen():
+            rng = np.random.default_rng(self.seed + 17)
+            order = np.arange(len(device_batches))
+            while True:
+                rng.shuffle(order)
+                for i in order:
+                    yield device_batches[i]
+
+        return gen()
+
     def train(self, resume: bool = False) -> Dict[str, float]:
         if resume and self.ckpt.latest_step() is not None:
             host_state = jax.tree_util.tree_map(np.asarray, self.state)
@@ -289,11 +334,13 @@ class Stage1Trainer:
 
         from m2tts_tpu.data.prefetch import DevicePrefetcher
 
-        depth = int(self.config.get("data.prefetch", 2))
-        source = data_iterator(self.dataset, self.batch_size, self.buckets,
-                               seed=self.seed)
-        it = (DevicePrefetcher(source, self._put, depth) if depth > 0
-              else map(self._put, source))
+        it = self._device_cached_iterator() if self.device_data_cache else None
+        if it is None:
+            depth = int(self.config.get("data.prefetch", 2))
+            source = data_iterator(self.dataset, self.batch_size,
+                                   self.buckets, seed=self.seed)
+            it = (DevicePrefetcher(source, self._put, depth) if depth > 0
+                  else map(self._put, source))
         last: Dict[str, float] = {}
         t_last = time.perf_counter()
         try:

@@ -226,3 +226,27 @@ def test_oom_snapshot_refreshed_on_resume_and_rewinds_step(tmp_path, dummy_ds):
     t2._recover_after_oom()
     assert t2.step == 4  # params and counter rewind together
     t2.close()
+
+
+def test_device_data_cache_trains_and_reduces_loss(tmp_path, dummy_ds):
+    """training.device_data_cache: HBM-resident batches, zero per-step
+    H2D; training behaves like the streaming path (loss decreases)."""
+    cfg = tiny_config(tmp_path, max_steps=20, log_every=5)
+    cfg.set("training.device_data_cache", True)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    first = trainer.validate()["total_loss"]
+    last = trainer.train()
+    final = trainer.validate()["total_loss"]
+    trainer.close()
+    assert np.isfinite(last["total_loss"])
+    assert final < first
+
+
+def test_device_data_cache_budget_falls_back_to_streaming(tmp_path, dummy_ds):
+    cfg = tiny_config(tmp_path, max_steps=1)
+    cfg.set("training.device_data_cache", True)
+    cfg.set("training.device_data_cache_max_gb", 1e-9)  # force fallback
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    assert trainer._device_cached_iterator() is None
+    trainer.train()  # streaming fallback still trains
+    trainer.close()
