@@ -45,6 +45,16 @@ EVAL_TEXTS = [
 
 def main():
     import jax
+
+    try:
+        # persistent compilation cache: bench graphs are identical run to
+        # run, so recompiles (4-30s each over the tunnel, much worse under
+        # congestion) collapse to local cache hits after the first run
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path(__file__).parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -107,6 +117,26 @@ def main():
     throughput = max(batched_runs)
     batch_wall_best = 1.0 / (max(batched_runs) / total_audio_sec * ITERS)
 
+    # ---- device-only throughput: audio generated per second with the PCM
+    # left on device (only the [B] frame counts are fetched). Separates
+    # chip capability from the host link: the tunneled link here swings
+    # 20-70 MB/s with time of day, and delivered-audio throughput above is
+    # strictly link-bound at batch 64 (16.8 MB of int16 PCM per batch).
+    fn_dev = synth._get_synth(FRAME_BUCKET, False)
+    enc_ids, enc_lens = synth._encode_batch(texts)
+    packed_dev = synth._put(synth._pack(enc_ids, enc_lens))
+    scale_dev = synth._scale_arr(scale)
+    device_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        audio_sec = 0.0
+        for _ in range(ITERS):
+            out = fn_dev(synth.params, packed_dev, scale_dev)
+            frames = np.minimum(np.asarray(out["total_frames"]),
+                                FRAME_BUCKET)  # blocks on compute only
+            audio_sec += float(frames.sum()) * synth.upsample / SAMPLE_RATE
+        device_runs.append(audio_sec / (time.perf_counter() - t0))
+
     # ---- MFU: analytic graph FLOPs (XLA cost model) / wall / chip peak ----
     mfu, graph_tflops = _mfu_estimate(
         synth, BATCH, TEXT_BUCKET, FRAME_BUCKET, scale, batch_wall_best)
@@ -134,7 +164,7 @@ def main():
     rtf = min(rtf_runs)
 
     # ---- stage-1 training throughput (flagship model, batch 32) ----
-    train_steps_per_sec = _bench_training()
+    train_steps_per_sec, train_mfu = _bench_training()
 
     reference_target_audio_per_sec = 2.0  # RTF<0.5 target on M2
     result = {
@@ -150,11 +180,14 @@ def main():
         "rtf_runs": [round(x, 6) for x in rtf_runs],
         "batched_runs_median": round(
             sorted(batched_runs)[len(batched_runs) // 2], 1),
+        "batched_device_only": round(max(device_runs), 1),
+        "batched_device_runs": [round(x, 1) for x in device_runs],
         "mfu": mfu,
         "graph_tflops_per_batch": graph_tflops,
         "params": count_parameters(params),
         "vocoder_backend": synth.vocoder_backend,
         "train_steps_per_sec": train_steps_per_sec,
+        "train_mfu": train_mfu,
         "train_vs_reference_m2max": (round(train_steps_per_sec / 2.0, 1)
                                      if train_steps_per_sec else None),
         "device": str(jax.devices()[0]),
@@ -179,15 +212,7 @@ def _mfu_estimate(synth, batch, text_bucket, frame_bucket, scale,
     import jax.numpy as jnp
     import numpy as np
 
-    PEAK_FLOPS = {  # bf16 dense peak per chip
-        "TPU v5 lite": 197e12,  # v5e
-        "TPU v5": 459e12,       # v5p
-        "TPU v4": 275e12,
-        "TPU v6 lite": 918e12,  # v6e (Trillium)
-    }
-    kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)),
-                None)
+    peak = _chip_peak()
     try:
         count_synth = synth
         if synth.vocoder_backend == "pallas":
@@ -218,6 +243,22 @@ def _mfu_estimate(synth, batch, text_bucket, frame_bucket, scale,
     except Exception as e:
         print(f"mfu estimate skipped: {e}", file=sys.stderr)
         return None, None
+
+
+def _chip_peak():
+    """bf16 dense peak FLOP/s for the local chip (the canonical MFU
+    denominator per chip family), or None off-TPU."""
+    import jax
+
+    PEAK_FLOPS = {
+        "TPU v5 lite": 197e12,  # v5e
+        "TPU v5": 459e12,       # v5p
+        "TPU v4": 275e12,
+        "TPU v6 lite": 918e12,  # v6e (Trillium)
+    }
+    kind = jax.devices()[0].device_kind
+    return next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)),
+                None)
 
 
 def _bench_training(n_steps: int = 60):
@@ -265,10 +306,26 @@ def _bench_training(n_steps: int = 60):
             jax.block_until_ready(losses)
             best = max(best, n_steps / (time.perf_counter() - t0))
         assert all(np.isfinite(float(v)) for v in losses.values())
-        return round(best, 2)
+        train_mfu = None
+        try:
+            # fwd+bwd+update FLOPs of the exact compiled train step (pure
+            # XLA graph, so the analytic cost model sees everything)
+            b0 = next(it)
+            rng = jax.random.fold_in(trainer.base_rng, trainer.step)
+            ca = trainer._train_step.lower(
+                trainer.state, b0, rng).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            peak = _chip_peak()
+            if flops > 0 and peak:
+                train_mfu = round(flops * best / peak, 5)
+        except Exception as e:
+            print(f"train mfu skipped: {e}", file=sys.stderr)
+        return round(best, 2), train_mfu
     except Exception as e:  # pragma: no cover - benchmark resilience
         print(f"training bench skipped: {e}", file=sys.stderr)
-        return None
+        return None, None
 
 
 if __name__ == "__main__":

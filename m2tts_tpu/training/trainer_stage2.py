@@ -324,21 +324,26 @@ class Stage2Trainer:
                     device_batch[k] = device_batch[k].astype(self.transfer_dtype)
         return {k: jax.device_put(v, sharding) for k, v in device_batch.items()}
 
-    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """One D+G step. Returns the loss dict as DEVICE scalars — calling
+        float() on them blocks, and doing that every step would force a
+        full sync between the D and G dispatches plus ~8 tunnel round
+        trips per step (measured: it capped the GAN loop at ~3 steps/s).
+        Callers convert with float() only when they actually log."""
         if "audio_seg" not in batch:  # already device-prepared by prefetcher
             batch = self._prepare(batch)
         rng = jax.random.fold_in(self.base_rng, self.step)
-        metrics: Dict[str, float] = {}
+        metrics: Dict[str, Any] = {}
         run_d = (not self.alternate_gd) or (self.step % 2 == 0)
         run_g = (not self.alternate_gd) or (self.step % 2 == 1)
         if run_d:
             self.d_state, d_metrics = self._d_step(
                 self.g_state.params, self.d_state, batch, rng)
-            metrics.update({k: float(v) for k, v in d_metrics.items()})
+            metrics.update(d_metrics)
         if run_g:
             self.g_state, g_metrics = self._g_step(
                 self.g_state, self.d_state.params, batch, rng)
-            metrics.update({k: float(v) for k, v in g_metrics.items()})
+            metrics.update(g_metrics)
         self.step += 1
         return metrics
 
@@ -371,6 +376,9 @@ class Stage2Trainer:
                         continue
                     raise
                 if self.step % self.log_every == 0:
+                    # device scalars -> floats only here (one sync per
+                    # log interval, not per step)
+                    metrics = {k: float(v) for k, v in metrics.items()}
                     now = time.perf_counter()
                     metrics["steps_per_sec"] = self.log_every / (now - t_last)
                     t_last = now
