@@ -105,6 +105,13 @@ class Stage2Trainer:
         self.transfer_dtype = jnp.bfloat16 if td in ("bfloat16", "bf16") else (
             jnp.float16 if td in ("float16", "fp16") else None)
         self.hop = int(config.get("data.hop_length", 256))
+        # Device-resident data cache (mirrors stage-1): the whole bucketed
+        # dataset — including FULL waveforms at the vocoder's effective
+        # rate — staged in HBM once; per-step segment offsets are drawn
+        # and sliced INSIDE the compiled step, so steps pay zero H2D.
+        self.device_data_cache = bool(tcfg.get("device_data_cache", False))
+        self.device_cache_max_gb = float(
+            tcfg.get("device_data_cache_max_gb", 4.0))
         self.weights = dict(
             mel_weight=float(tcfg.get("mel_loss_weight", 1.0)),
             duration_weight=float(tcfg.get("duration_loss_weight", 0.1)),
@@ -190,6 +197,17 @@ class Stage2Trainer:
 
         self._d_step = jax.jit(self._d_step_fn, donate_argnums=(1,))
         self._g_step = jax.jit(self._g_step_fn, donate_argnums=(0,))
+        # device-cache variants: draw segment offsets + slice the cached
+        # full waveform inside the graph (same offsets in D and G steps —
+        # both fold the same step rng)
+        self._d_step_cached = jax.jit(
+            lambda g_params, d_state, batch, rng: self._d_step_fn(
+                g_params, d_state, self._slice_batch(batch, rng), rng),
+            donate_argnums=(1,))
+        self._g_step_cached = jax.jit(
+            lambda g_state, d_params, batch, rng: self._g_step_fn(
+                g_state, d_params, self._slice_batch(batch, rng), rng),
+            donate_argnums=(0,))
         self._host_rng = np.random.default_rng(self.seed + 2)
         self.base_rng = jax.random.PRNGKey(self.seed + 3)
         self.step = 0
@@ -305,6 +323,96 @@ class Stage2Trainer:
             g_state.params)
         return g_state.apply_gradients(grads=grads), losses
 
+    # -- device-cached data path ----------------------------------------------
+    def _slice_batch(self, batch: Dict[str, jnp.ndarray], rng):
+        """Traced: random per-sample segment window from the HBM-resident
+        full waveform (stored at the vocoder's effective rate: ``upsample``
+        samples per mel frame). Mirrors the host `_segment_audio` contract
+        — offsets in [0, mel_len - seg_frames], zero-padded region beyond
+        the true waveform — but entirely on device."""
+        off_rng = jax.random.fold_in(rng, 0x5E6)
+        mel_len = batch["mel_lengths"]
+        max_off = jnp.maximum(mel_len - self.seg_frames, 0)
+        u = jax.random.uniform(off_rng, mel_len.shape)
+        offsets = jnp.floor(u * (max_off + 1).astype(u.dtype)).astype(
+            jnp.int32)
+        audio = batch["audio"]
+        if audio.dtype in (jnp.bfloat16, jnp.float16):
+            audio = audio.astype(jnp.float32)
+        U = self.upsample
+        S = self.seg_frames * U
+
+        def slice_one(a, off):
+            return jax.lax.dynamic_slice(a, (off * U,), (S,))
+
+        out = {k: v for k, v in batch.items() if k != "audio"}
+        out["frame_offsets"] = offsets
+        out["audio_seg"] = jax.vmap(slice_one)(audio, offsets)
+        return out
+
+    def _stage_audio(self, audio: np.ndarray, frames_bucket: int
+                     ) -> np.ndarray:
+        """Host, once per staging: full waveform -> the vocoder's effective
+        rate, fixed length ``frames_bucket * upsample`` (the per-step
+        resample the streaming path pays disappears)."""
+        want = frames_bucket * self.upsample
+        if self.upsample != self.hop:
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(self.upsample, self.hop)
+            audio = np.stack([
+                resample_poly(row, self.upsample // g, self.hop // g)
+                .astype(np.float32) for row in audio])
+        out = np.zeros((audio.shape[0], want), np.float32)
+        n = min(want, audio.shape[1])
+        out[:, :n] = audio[:, :n]
+        return out
+
+    def _device_cached_iterator(self):
+        """Infinite iterator over HBM-resident batches (one H2D, ever), or
+        None when the staged bytes exceed the configured budget."""
+        from m2tts_tpu.data.dataset import make_batches
+
+        host_batches = []
+        for b in make_batches(self.dataset, self.batch_size, self.buckets,
+                              seed=self.seed, shuffle=True, drop_last=False,
+                              audio_samples=self._max_audio_samples()):
+            b["audio"] = self._stage_audio(b["audio"], b["mel"].shape[1])
+            host_batches.append(b)
+        nbytes = sum(v.nbytes for b in host_batches for v in b.values()
+                     if hasattr(v, "nbytes"))
+        if self.transfer_dtype is not None:
+            nbytes = int(nbytes * 0.55)  # mel+audio halve at transfer dtype
+        if nbytes > self.device_cache_max_gb * 1e9:
+            logger.warning(
+                "device_data_cache: dataset needs ~%.2f GB > budget %.1f GB"
+                " — falling back to streaming", nbytes / 1e9,
+                self.device_cache_max_gb)
+            return None
+        sharding = batch_sharding(self.mesh)
+        device_batches = []
+        for b in host_batches:
+            if self.transfer_dtype is not None:
+                for k in ("mel", "audio"):
+                    if b[k].dtype == np.float32:
+                        b[k] = b[k].astype(self.transfer_dtype)
+            device_batches.append(
+                {k: jax.device_put(v, sharding) for k, v in b.items()})
+        logger.info("device_data_cache: %d batches (%.1f MB) staged in HBM",
+                    len(device_batches), nbytes / 1e6)
+
+        def gen():
+            rng = np.random.default_rng(self.seed + 17)
+            order = np.arange(len(device_batches))
+            while True:
+                rng.shuffle(order)
+                for i in order:
+                    yield device_batches[i]
+
+        return gen()
+
     # -- loop ----------------------------------------------------------------------
     def _prepare(self, batch: Dict[str, np.ndarray],
                  rng: Optional[np.random.Generator] = None
@@ -330,18 +438,24 @@ class Stage2Trainer:
         full sync between the D and G dispatches plus ~8 tunnel round
         trips per step (measured: it capped the GAN loop at ~3 steps/s).
         Callers convert with float() only when they actually log."""
-        if "audio_seg" not in batch:  # already device-prepared by prefetcher
+        # HBM-cached batches carry the FULL device-resident waveform and
+        # slice segments inside the graph; streaming batches are prepared
+        # host-side (prefetcher already did it when audio_seg is present)
+        cached = "audio" in batch and isinstance(batch["audio"], jax.Array)
+        if not cached and "audio_seg" not in batch:
             batch = self._prepare(batch)
+        d_fn = self._d_step_cached if cached else self._d_step
+        g_fn = self._g_step_cached if cached else self._g_step
         rng = jax.random.fold_in(self.base_rng, self.step)
         metrics: Dict[str, Any] = {}
         run_d = (not self.alternate_gd) or (self.step % 2 == 0)
         run_g = (not self.alternate_gd) or (self.step % 2 == 1)
         if run_d:
-            self.d_state, d_metrics = self._d_step(
+            self.d_state, d_metrics = d_fn(
                 self.g_state.params, self.d_state, batch, rng)
             metrics.update(d_metrics)
         if run_g:
-            self.g_state, g_metrics = self._g_step(
+            self.g_state, g_metrics = g_fn(
                 self.g_state, self.d_state.params, batch, rng)
             metrics.update(g_metrics)
         self.step += 1
@@ -352,12 +466,14 @@ class Stage2Trainer:
             self.restore()
         from m2tts_tpu.data.prefetch import DevicePrefetcher
 
-        source = data_iterator(self.dataset, self.batch_size, self.buckets,
-                               seed=self.seed,
-                               audio_samples=self._max_audio_samples())
-        depth = int(self.config.get("data.prefetch", 2))
-        it = (DevicePrefetcher(source, self._prepare, depth) if depth > 0
-              else source)
+        it = self._device_cached_iterator() if self.device_data_cache else None
+        if it is None:
+            source = data_iterator(self.dataset, self.batch_size,
+                                   self.buckets, seed=self.seed,
+                                   audio_samples=self._max_audio_samples())
+            depth = int(self.config.get("data.prefetch", 2))
+            it = (DevicePrefetcher(source, self._prepare, depth) if depth > 0
+                  else source)
         last: Dict[str, float] = {}
         t_last = time.perf_counter()
         try:

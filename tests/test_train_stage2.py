@@ -210,3 +210,36 @@ def test_generator_warm_start_from_stage1(tmp_path, dummy_ds):
     assert not np.allclose(leaf(warm), leaf(cold))
     t2.close()
     fresh.close()
+
+
+def test_stage2_device_data_cache_trains(tmp_path, dummy_ds):
+    """HBM-resident stage-2 data: full waveforms staged once, segment
+    offsets drawn and sliced inside the compiled step."""
+    cfg = stage2_config(tmp_path, max_steps=3, device_data_cache=True)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    last = tr.train()
+    tr.close()
+    assert tr.step == 3
+    assert np.isfinite(last["total_loss"])
+    assert np.isfinite(last["discriminator_loss"])
+
+
+def test_stage2_slice_batch_matches_manual(tmp_path, dummy_ds):
+    cfg = stage2_config(tmp_path, max_steps=1, device_data_cache=True)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    it = tr._device_cached_iterator()
+    assert it is not None
+    b = next(it)
+    out = tr._slice_batch(b, jax.random.PRNGKey(7))
+    off = np.asarray(out["frame_offsets"])
+    seg = np.asarray(out["audio_seg"])
+    audio = np.asarray(b["audio"], np.float32)
+    U, S = tr.upsample, tr.seg_frames
+    mel_len = np.asarray(b["mel_lengths"])
+    assert (off >= 0).all()
+    assert (off <= np.maximum(mel_len - S, 0)).all()
+    for i in range(min(4, seg.shape[0])):
+        np.testing.assert_allclose(
+            seg[i], audio[i, off[i] * U: off[i] * U + S * U], rtol=1e-6)
+    assert "audio" not in out and "audio_seg" in out
+    tr.close()
