@@ -311,7 +311,10 @@ class TTSDataset:
 
     def _load_paired_files(self) -> List[Dict[str, Any]]:
         """``x.wav`` + ``x.txt`` pairs anywhere under the data dir
-        (reference src/data/dataset.py:137-166)."""
+        (reference src/data/dataset.py:137-166). Deviation: the reference
+        also globs .mp3/.flac because librosa decodes them; this repo's
+        frontend is librosa-free (stdlib WAV reader), so compressed
+        formats must be converted to WAV first."""
         samples = []
         for wav in sorted(self.data_dir.glob("**/*.wav")):
             txt = wav.with_suffix(".txt")
