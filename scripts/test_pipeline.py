@@ -126,11 +126,13 @@ def test_dataset():
 def test_config():
     from m2tts_tpu.utils.config import load_config
 
-    for name in ("stage1_poc.yaml", "stage2_quality.yaml", "flagship_tpu.yaml"):
+    names = ("stage1_poc.yaml", "stage2_quality.yaml", "flagship_tpu.yaml",
+             "flagship_xl.yaml")
+    for name in names:
         cfg = load_config(REPO / "configs" / name)
         for group in ("model", "training", "data", "system", "paths"):
             assert group in cfg, f"{name} missing group {group}"
-    print("    3 configs x 5 groups ok")
+    print(f"    {len(names)} configs x 5 groups ok")
 
 
 ALL_PARTS = [test_device, test_text, test_phoneme_dict, test_model_forward,
