@@ -91,11 +91,14 @@ class Synthesizer:
         if vocoder_backend not in ("xla", "mm", "pallas", "auto"):
             raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
         if vocoder_backend == "auto":
-            # prefer the fused Pallas kernel where Mosaic compilation is
-            # available; otherwise the matmul-form vocoder (plain XLA,
-            # fastest measured fallback on tunneled-TPU hosts)
-            vocoder_backend = ("pallas" if self._pallas_available()
-                               else "mm")
+            # Measured device-only on 1x v5e (2026-08-17, batch 64 x 512
+            # frames): XLA vocoder 23.6 ms/batch vs fused Pallas 62.6 ms
+            # (256ch); XLA also wins at 512ch (flagship_xl). XLA's own
+            # conv fusion beats the hand-written kernel at these channel
+            # counts — exactly SURVEY.md §7 hard-part (c) — so 'auto'
+            # means 'xla'. The pallas/mm backends remain selectable and
+            # equivalence-tested.
+            vocoder_backend = "xla"
         self.vocoder_backend = vocoder_backend
         # _vocoder_fn(params, mel) packs the weights INSIDE the traced
         # graph so they reach the kernel as arguments; a closure over
