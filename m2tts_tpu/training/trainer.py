@@ -183,6 +183,10 @@ class Stage1Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self.step = 0
+        # best-validation checkpoint, pinned against rotation under
+        # <ckpt_dir>/best (reference best_model.pt, train.py:256-260)
+        self.best_val_loss = float("inf")
+        self._best_ckpt: CheckpointManager | None = None
         # in-training quality validation: sample WAV dump on every
         # validation (reference train.py:344-368); lazily built so
         # sample-free runs never pay the synthesis compile
@@ -378,6 +382,10 @@ class Stage1Trainer:
                             {"params": self.state.params}, self.step))
                     self.metrics.log({f"val_{k}": v for k, v in val.items()},
                                      self.step)
+                    score = val.get("total_loss")
+                    if score is not None and score < self.best_val_loss:
+                        self.best_val_loss = score
+                        self.save_best_checkpoint(score)
                 if self.step % self.save_every == 0:
                     self.save_checkpoint()
         except KeyboardInterrupt:  # graceful final checkpoint
@@ -415,6 +423,25 @@ class Stage1Trainer:
                         "step": self.step},
                        config=self.config)
 
+    def save_best_checkpoint(self, score: float) -> None:
+        """Pin the current state as the best-validation checkpoint
+        (reference best_model.pt semantics: survives rotation,
+        loadable via load_for_inference(dir, step='best'))."""
+        if self._best_ckpt is None:
+            self._best_ckpt = CheckpointManager(
+                self.ckpt.directory / "best", max_to_keep=1)
+        host_state = self._host_state_copy()
+        self._best_ckpt.save(self.step,
+                             {"params": host_state.params,
+                              "opt_state": host_state.opt_state,
+                              "step": self.step},
+                             config=self.config,
+                             metrics={"val_total_loss": float(score)})
+        logger.info("New best validation loss %.6f at step %d", score,
+                    self.step)
+
     def close(self):
         self.ckpt.close()
+        if self._best_ckpt is not None:
+            self._best_ckpt.close()
         self.metrics.close()

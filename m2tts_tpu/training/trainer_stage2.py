@@ -194,6 +194,10 @@ class Stage2Trainer:
         self.early_stopping = EarlyStopping(
             patience=int(tcfg.get("patience", 10000)),
             min_delta=float(tcfg.get("min_delta", 0.001)))
+        # best-validation checkpoint, pinned under <ckpt_dir>/best
+        # (reference best_model.pt, train_stage2.py:405-408)
+        self.best_val_score = float("inf")
+        self._best_ckpt: Optional[CheckpointManager] = None
 
         self._d_step = jax.jit(self._d_step_fn, donate_argnums=(1,))
         self._g_step = jax.jit(self._g_step_fn, donate_argnums=(0,))
@@ -522,9 +526,14 @@ class Stage2Trainer:
                             if "estimated_mos" in val else None
                     else:
                         score = val.get("mel_loss")
-                    if score is not None and self.early_stopping(score):
-                        logger.info("Early stopping at step %d", self.step)
-                        break
+                    if score is not None:
+                        if score < self.best_val_score:
+                            self.best_val_score = score
+                            self.save_best_checkpoint(score)
+                        if self.early_stopping(score):
+                            logger.info("Early stopping at step %d",
+                                        self.step)
+                            break
                 if (self.generate_samples_every
                         and self.step % self.generate_samples_every == 0
                         and not ran_quality_pass):
@@ -618,6 +627,22 @@ class Stage2Trainer:
             "step": self.step,
         }, config=self.config)
 
+    def save_best_checkpoint(self, score: float) -> None:
+        """Pin the current G/D states as the best-validation checkpoint
+        (reference best_model.pt; loadable via
+        load_for_inference(dir, step='best'))."""
+        if self._best_ckpt is None:
+            self._best_ckpt = CheckpointManager(
+                self.ckpt.directory / "best", max_to_keep=1)
+        g, d = self._host_states_copy()
+        self._best_ckpt.save(self.step, {
+            "generator": g.params, "g_opt_state": g.opt_state,
+            "discriminator": d.params, "d_opt_state": d.opt_state,
+            "step": self.step,
+        }, config=self.config, metrics={"val_score": float(score)})
+        logger.info("New best validation score %.6f at step %d", score,
+                    self.step)
+
     def restore(self) -> None:
         g = jax.tree_util.tree_map(np.asarray, self.g_state)
         d = jax.tree_util.tree_map(np.asarray, self.d_state)
@@ -639,4 +664,6 @@ class Stage2Trainer:
 
     def close(self):
         self.ckpt.close()
+        if self._best_ckpt is not None:
+            self._best_ckpt.close()
         self.metrics.close()

@@ -74,12 +74,24 @@ class CheckpointManager:
 
 
 def load_for_inference(directory: Union[str, Path],
-                       step: Optional[int] = None) -> Tuple[Any, Config, int]:
+                       step: Union[int, str, None] = None
+                       ) -> Tuple[Any, Config, int]:
     """Checkpoint dir → (params, config, step) for synthesis.
 
     Accepts checkpoints written by either trainer; extracts the generator
-    params subtree regardless of train-state layout.
+    params subtree regardless of train-state layout. ``step="best"``
+    loads the best-validation checkpoint the trainers pin under
+    ``<dir>/best`` (the reference's ``best_model.pt``,
+    reference training/train.py:256-260, train_stage2.py:405-408).
     """
+    directory = Path(directory)
+    if step == "best":
+        best_dir = directory / "best"
+        if not best_dir.exists():
+            raise FileNotFoundError(
+                f"No best-checkpoint dir at {best_dir}; train with "
+                "validation enabled to produce one")
+        directory, step = best_dir, None
     mgr = CheckpointManager(directory)
     state, config, step = mgr.restore(step)
     mgr.close()

@@ -29,6 +29,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main(argv=None):
     p = argparse.ArgumentParser(description="m2tts_tpu evaluation")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--step", type=str, default=None,
+                   help="checkpoint step: int, 'best', or latest")
     p.add_argument("--torch-checkpoint", type=str, default=None)
     p.add_argument("--data-dir", type=str, default=None,
                    help="dataset for teacher-forced metrics")
@@ -56,7 +58,10 @@ def main(argv=None):
     from m2tts_tpu.frontend.audio import save_wav
     from m2tts_tpu.serving import pipeline
 
-    synth = (pipeline.from_checkpoint(args.checkpoint) if args.checkpoint
+    step = (args.step if args.step in (None, 'best')
+            else int(args.step))
+    synth = (pipeline.from_checkpoint(args.checkpoint, step=step)
+             if args.checkpoint
              else pipeline.from_torch_checkpoint(args.torch_checkpoint))
     report = {}
 

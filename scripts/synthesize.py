@@ -21,11 +21,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+
+
+def _parse_step(step):
+    """--step: int, 'best' (best-validation pin), or None (latest)."""
+    if step in (None, "", "latest"):
+        return None
+    return step if step == "best" else int(step)
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="m2tts_tpu synthesis")
     p.add_argument("--text", type=str, default=None, help="Text to synthesize")
     p.add_argument("--batch-file", type=str, default=None,
                    help="File with one utterance per line")
+    p.add_argument("--step", type=str, default=None,
+                   help="checkpoint step to load: an int, 'best', or latest (default)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="m2tts_tpu (orbax) checkpoint directory")
     p.add_argument("--torch-checkpoint", type=str, default=None,
@@ -46,7 +56,8 @@ def main(argv=None):
     from m2tts_tpu.serving import pipeline
 
     if args.checkpoint:
-        synth = pipeline.from_checkpoint(args.checkpoint)
+        synth = pipeline.from_checkpoint(args.checkpoint,
+                                         step=_parse_step(args.step))
     else:
         synth = pipeline.from_torch_checkpoint(args.torch_checkpoint)
 

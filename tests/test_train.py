@@ -250,3 +250,22 @@ def test_device_data_cache_budget_falls_back_to_streaming(tmp_path, dummy_ds):
     assert trainer._device_cached_iterator() is None
     trainer.train()  # streaming fallback still trains
     trainer.close()
+
+
+def test_best_checkpoint_pinned_and_loadable(tmp_path, dummy_ds):
+    """Validation improvement pins a best checkpoint under <ckpt>/best
+    (reference best_model.pt), loadable via step='best'."""
+    from pathlib import Path
+
+    from m2tts_tpu.utils.checkpoint import load_for_inference
+
+    cfg = tiny_config(tmp_path, max_steps=4, validate_every=2,
+                      save_every=100, validate_samples=False)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    trainer.train()
+    trainer.close()
+    ckpt_dir = cfg.get("paths.checkpoint_dir")
+    assert (Path(ckpt_dir) / "best").exists()
+    variables, config, step = load_for_inference(ckpt_dir, step="best")
+    assert "params" in variables and step in (2, 4)
+    assert config is not None
