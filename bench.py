@@ -18,6 +18,7 @@ Extra fields: rtf_single_stream, batched details, device, params.
 """
 
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -178,8 +179,7 @@ def main():
         "frame_bucket": FRAME_BUCKET,
         "batched_runs": [round(x, 1) for x in batched_runs],
         "rtf_runs": [round(x, 6) for x in rtf_runs],
-        "batched_runs_median": round(
-            sorted(batched_runs)[len(batched_runs) // 2], 1),
+        "batched_runs_median": round(statistics.median(batched_runs), 1),
         "batched_device_only": round(max(device_runs), 1),
         "batched_device_runs": [round(x, 1) for x in device_runs],
         "mfu": mfu,

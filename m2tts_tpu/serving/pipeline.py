@@ -99,6 +99,15 @@ class Synthesizer:
             # means 'xla'. The pallas/mm backends remain selectable and
             # equivalence-tested.
             vocoder_backend = "xla"
+        if vocoder_backend == "pallas" and jax.default_backend() == "tpu" \
+                and not self._pallas_available():
+            # fail fast with a clear message instead of a cryptic Mosaic
+            # error on the first request (some tunneled setups proxy
+            # compilation through a helper that can't build custom kernels)
+            raise RuntimeError(
+                "vocoder_backend='pallas' requested but Mosaic kernel "
+                "compilation is unavailable on this TPU backend; use "
+                "'xla' (fastest measured) or 'mm'")
         self.vocoder_backend = vocoder_backend
         # _vocoder_fn(params, mel) packs the weights INSIDE the traced
         # graph so they reach the kernel as arguments; a closure over

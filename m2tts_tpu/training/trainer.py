@@ -46,6 +46,28 @@ from m2tts_tpu.utils.profiling import StepProfiler
 logger = logging.getLogger(__name__)
 
 
+def _write_best_score(ckpt_dir, step: int, score: float) -> None:
+    """Record the best-validation score beside the pinned checkpoint so a
+    resumed run never overwrites the true best with a worse state."""
+    import json
+
+    path = Path(ckpt_dir) / "best" / "score.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps({"step": int(step), "score": float(score)}))
+
+
+def _read_best_score(ckpt_dir, default: float) -> float:
+    import json
+
+    path = Path(ckpt_dir) / "best" / "score.json"
+    if path.exists():
+        try:
+            return float(json.loads(path.read_text())["score"])
+        except (ValueError, KeyError):
+            pass
+    return default
+
+
 def make_lr_schedule(cfg) -> optax.Schedule:
     lr = float(cfg.get("learning_rate", 1e-4))
     warmup = int(cfg.get("warmup_steps", 0))
@@ -287,37 +309,18 @@ class Stage1Trainer:
     def _device_cached_iterator(self):
         """Infinite iterator over HBM-resident batches (one H2D, ever).
 
-        Collates one full epoch (drop_last=False: every sample included),
-        places each fixed-shape batch on the mesh once, then yields them
-        in a fresh shuffled ORDER each epoch. Returns None (streaming
-        fallback) when the staged bytes would exceed the configured HBM
-        budget."""
-        host_batches = list(make_batches(
-            self.dataset, self.batch_size, self.buckets, seed=self.seed,
-            shuffle=True, drop_last=False))
-        nbytes = sum(v.nbytes for b in host_batches for v in b.values()
-                     if hasattr(v, "nbytes"))
-        if self.transfer_dtype is not None:
-            nbytes //= 2  # mel halves at the transfer dtype
-        if nbytes > self.device_cache_max_gb * 1e9:
-            logger.warning(
-                "device_data_cache: dataset needs ~%.2f GB > budget %.1f GB"
-                " — falling back to streaming", nbytes / 1e9,
-                self.device_cache_max_gb)
-            return None
-        device_batches = [self._put(b) for b in host_batches]
-        logger.info("device_data_cache: %d batches (%.1f MB) staged in HBM",
-                    len(device_batches), nbytes / 1e6)
+        Collates one full epoch (drop_last=False: every sample included)
+        and stages each fixed-shape batch on the mesh incrementally, then
+        yields them in a fresh shuffled ORDER each epoch. Returns None
+        (streaming fallback) when the staged device bytes would exceed
+        the configured HBM budget."""
+        from m2tts_tpu.data.device_cache import epoch_shuffled, stage_on_device
 
-        def gen():
-            rng = np.random.default_rng(self.seed + 17)
-            order = np.arange(len(device_batches))
-            while True:
-                rng.shuffle(order)
-                for i in order:
-                    yield device_batches[i]
-
-        return gen()
+        staged = stage_on_device(
+            make_batches(self.dataset, self.batch_size, self.buckets,
+                         seed=self.seed, shuffle=True, drop_last=False),
+            self._put, self.device_cache_max_gb * 1e9)
+        return epoch_shuffled(staged, self.seed + 17) if staged else None
 
     def train(self, resume: bool = False) -> Dict[str, float]:
         if resume and self.ckpt.latest_step() is not None:
@@ -334,6 +337,11 @@ class Stage1Trainer:
             # refresh the OOM snapshot: recovery must roll back to the
             # resumed params, not the __init__-time random init
             self._oom_snapshot = (self._host_state_copy(), step)
+            # restore the best-validation score too: without it the first
+            # post-resume validation would always "improve" on inf and
+            # rotate away the genuine best checkpoint
+            self.best_val_loss = _read_best_score(
+                self.ckpt.directory, self.best_val_loss)
             logger.info("Resumed from step %d", step)
 
         from m2tts_tpu.data.prefetch import DevicePrefetcher
@@ -357,6 +365,11 @@ class Stage1Trainer:
                     with self.profiler.step(self.step):
                         self.state, losses = self._train_step(self.state, batch,
                                                               rng)
+                        if (self.step + 1) % self.log_every == 0:
+                            # log-step sync: an execution OOM surfaces at
+                            # this conversion, so it stays in the guard
+                            losses = {k: float(v)
+                                      for k, v in losses.items()}
                 except jax.errors.JaxRuntimeError as e:  # OOM guard
                     if "RESOURCE_EXHAUSTED" in str(e):
                         logger.error("OOM at step %d; clearing caches", self.step)
@@ -437,6 +450,7 @@ class Stage1Trainer:
                               "step": self.step},
                              config=self.config,
                              metrics={"val_total_loss": float(score)})
+        _write_best_score(self.ckpt.directory, self.step, score)
         logger.info("New best validation loss %.6f at step %d", score,
                     self.step)
 

@@ -45,7 +45,8 @@ from m2tts_tpu.parallel.mesh import batch_sharding, make_mesh
 from m2tts_tpu.parallel.partition import shard_tree
 from m2tts_tpu.training import losses as L
 from m2tts_tpu.training.losses import EarlyStopping
-from m2tts_tpu.training.trainer import build_dataset, make_lr_schedule
+from m2tts_tpu.training.trainer import (_read_best_score, _write_best_score,
+                                        build_dataset, make_lr_schedule)
 from m2tts_tpu.utils.checkpoint import CheckpointManager
 from m2tts_tpu.utils.config import Config
 from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor
@@ -376,46 +377,29 @@ class Stage2Trainer:
 
     def _device_cached_iterator(self):
         """Infinite iterator over HBM-resident batches (one H2D, ever), or
-        None when the staged bytes exceed the configured budget."""
+        None when the staged device bytes exceed the configured budget.
+        Per-batch host prep (effective-rate resample, transfer-dtype cast)
+        happens inside the staging put_fn, so peak host RAM stays at one
+        batch regardless of corpus size."""
         from m2tts_tpu.data.dataset import make_batches
+        from m2tts_tpu.data.device_cache import epoch_shuffled, stage_on_device
 
-        host_batches = []
-        for b in make_batches(self.dataset, self.batch_size, self.buckets,
-                              seed=self.seed, shuffle=True, drop_last=False,
-                              audio_samples=self._max_audio_samples()):
-            b["audio"] = self._stage_audio(b["audio"], b["mel"].shape[1])
-            host_batches.append(b)
-        nbytes = sum(v.nbytes for b in host_batches for v in b.values()
-                     if hasattr(v, "nbytes"))
-        if self.transfer_dtype is not None:
-            nbytes = int(nbytes * 0.55)  # mel+audio halve at transfer dtype
-        if nbytes > self.device_cache_max_gb * 1e9:
-            logger.warning(
-                "device_data_cache: dataset needs ~%.2f GB > budget %.1f GB"
-                " — falling back to streaming", nbytes / 1e9,
-                self.device_cache_max_gb)
-            return None
         sharding = batch_sharding(self.mesh)
-        device_batches = []
-        for b in host_batches:
+
+        def put(b):
+            b["audio"] = self._stage_audio(b["audio"], b["mel"].shape[1])
             if self.transfer_dtype is not None:
                 for k in ("mel", "audio"):
                     if b[k].dtype == np.float32:
                         b[k] = b[k].astype(self.transfer_dtype)
-            device_batches.append(
-                {k: jax.device_put(v, sharding) for k, v in b.items()})
-        logger.info("device_data_cache: %d batches (%.1f MB) staged in HBM",
-                    len(device_batches), nbytes / 1e6)
+            return {k: jax.device_put(v, sharding) for k, v in b.items()}
 
-        def gen():
-            rng = np.random.default_rng(self.seed + 17)
-            order = np.arange(len(device_batches))
-            while True:
-                rng.shuffle(order)
-                for i in order:
-                    yield device_batches[i]
-
-        return gen()
+        staged = stage_on_device(
+            make_batches(self.dataset, self.batch_size, self.buckets,
+                         seed=self.seed, shuffle=True, drop_last=False,
+                         audio_samples=self._max_audio_samples()),
+            put, self.device_cache_max_gb * 1e9)
+        return epoch_shuffled(staged, self.seed + 17) if staged else None
 
     # -- loop ----------------------------------------------------------------------
     def _prepare(self, batch: Dict[str, np.ndarray],
@@ -487,6 +471,13 @@ class Stage2Trainer:
                 try:
                     with self.profiler.step(self.step):
                         metrics = self.train_step(next(it))
+                        if self.step % self.log_every == 0:
+                            # device scalars -> floats only at log
+                            # intervals. This is the step's sync point —
+                            # an execution OOM surfaces HERE, so the
+                            # conversion must stay inside the guard.
+                            metrics = {k: float(v)
+                                       for k, v in metrics.items()}
                 except jax.errors.JaxRuntimeError as e:  # OOM guard
                     if "RESOURCE_EXHAUSTED" in str(e):
                         logger.error("OOM at step %d; clearing caches",
@@ -496,9 +487,6 @@ class Stage2Trainer:
                         continue
                     raise
                 if self.step % self.log_every == 0:
-                    # device scalars -> floats only here (one sync per
-                    # log interval, not per step)
-                    metrics = {k: float(v) for k, v in metrics.items()}
                     now = time.perf_counter()
                     metrics["steps_per_sec"] = self.log_every / (now - t_last)
                     t_last = now
@@ -640,6 +628,7 @@ class Stage2Trainer:
             "discriminator": d.params, "d_opt_state": d.opt_state,
             "step": self.step,
         }, config=self.config, metrics={"val_score": float(score)})
+        _write_best_score(self.ckpt.directory, self.step, score)
         logger.info("New best validation score %.6f at step %d", score,
                     self.step)
 
@@ -660,6 +649,10 @@ class Stage2Trainer:
         # refresh the OOM snapshot so recovery rolls back to the resumed
         # params, not the __init__-time init
         self._oom_snapshot = (*self._host_states_copy(), step)
+        # restore the best-validation score so resume never rotates the
+        # pinned best checkpoint away with a worse state
+        self.best_val_score = _read_best_score(self.ckpt.directory,
+                                               self.best_val_score)
         logger.info("Resumed stage-2 from step %d", step)
 
     def close(self):

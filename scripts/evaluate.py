@@ -58,8 +58,8 @@ def main(argv=None):
     from m2tts_tpu.frontend.audio import save_wav
     from m2tts_tpu.serving import pipeline
 
-    step = (args.step if args.step in (None, 'best')
-            else int(args.step))
+    step = (None if args.step in (None, "", "latest")
+            else args.step if args.step == "best" else int(args.step))
     synth = (pipeline.from_checkpoint(args.checkpoint, step=step)
              if args.checkpoint
              else pipeline.from_torch_checkpoint(args.torch_checkpoint))
