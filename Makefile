@@ -52,7 +52,7 @@ test-quick:
 
 lint:
 	$(PYTHON) -m compileall -q m2tts_tpu scripts tests bench.py __graft_entry__.py
-	-$(PYTHON) -m pyflakes m2tts_tpu scripts 2>/dev/null || true
+	$(PYTHON) scripts/lint.py m2tts_tpu scripts tests bench.py __graft_entry__.py
 
 format:
 	@echo "no formatter configured; code is hand-formatted"

@@ -68,14 +68,17 @@ def select_bucket(text_len: int, mel_len: int,
 
 
 def collate(samples: List[Dict[str, Any]], bucket: Bucket,
-            audio_samples: Optional[int] = None) -> Dict[str, np.ndarray]:
+            audio_samples: Optional[int] = None,
+            n_valid: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Pad/truncate a list of samples into ONE fixed-shape batch.
 
     Output keys (all numpy, fixed shapes for the given bucket):
       phoneme_ids [B, bt] int32 (SIL-padded), text_lengths [B] int32,
       durations [B, bt] f32, mel [B, bm, C] f32, mel_lengths [B] int32,
-      and audio [B, audio_samples] f32 when ``audio_samples`` is given and
-      every sample carries a waveform.
+      n_valid () int32 (the REAL sample count: positions >= n_valid are
+      cycled duplicates from drop_last=False padding — metric consumers
+      must exclude them), and audio [B, audio_samples] f32 when
+      ``audio_samples`` is given and every sample carries a waveform.
     """
     bt, bm = bucket
     B = len(samples)
@@ -107,6 +110,9 @@ def collate(samples: List[Dict[str, Any]], bucket: Bucket,
         "durations": durations,
         "mel": mel,
         "mel_lengths": mel_lengths,
+        # 0-d on purpose: device-transfer paths skip ndim==0 entries, so
+        # the count never leaks into compiled-graph signatures
+        "n_valid": np.int32(n_valid if n_valid is not None else B),
     }
     if has_audio:
         batch["audio"] = audio
@@ -147,7 +153,7 @@ def make_batches(dataset, batch_size: int, buckets: Sequence[Bucket],
             k = len(group)
             while len(group) < batch_size:
                 group.append(group[len(group) % k])
-            yield collate(group, b, audio_samples)
+            yield collate(group, b, audio_samples, n_valid=k)
 
 
 def data_iterator(dataset, batch_size: int, buckets: Sequence[Bucket],
@@ -194,6 +200,7 @@ class DataLoader:
         self.audio_samples = audio_samples
         self.drop_last = drop_last
         self._epoch = 0
+        self._len: Optional[int] = None
 
     def __iter__(self):
         seed = self.seed + (self._epoch if self.shuffle else 0)
@@ -204,8 +211,24 @@ class DataLoader:
                             drop_last=self.drop_last)
 
     def __len__(self) -> int:
-        n, r = divmod(len(self.dataset), self.batch_size)
-        return n if (self.drop_last or r == 0) else n + 1
+        """Exact batch count: batches are emitted PER BUCKET, so the count
+        is the sum over buckets of full batches (+ one padded leftover
+        batch per non-empty remainder under drop_last=False) — not
+        len(dataset)//batch_size. Cached (one O(N) pass over the samples'
+        lengths)."""
+        if self._len is None:
+            per_bucket: Dict[Bucket, int] = {}
+            for i in range(len(self.dataset)):
+                s = self.dataset[i]
+                b = select_bucket(len(s["phoneme_ids"]),
+                                  int(s["mel_length"]), self.buckets)
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+            total = 0
+            for count in per_bucket.values():
+                full, rem = divmod(count, self.batch_size)
+                total += full + (0 if (self.drop_last or rem == 0) else 1)
+            self._len = total
+        return self._len
 
 
 def create_dataloader(dataset, batch_size: int = 2,

@@ -66,7 +66,17 @@ class DevicePrefetcher:
     def __next__(self) -> Any:
         if self._finished:
             raise StopIteration
-        kind, payload = self._queue.get()
+        # bounded get: a consumer racing with (or arriving after) close()
+        # must see StopIteration, not block forever on an empty queue the
+        # stopped worker will never refill
+        while True:
+            try:
+                kind, payload = self._queue.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    self._finished = True
+                    raise StopIteration from None
         if kind == _OK:
             return payload
         self._finished = True
@@ -75,11 +85,16 @@ class DevicePrefetcher:
         raise StopIteration
 
     def close(self) -> None:
-        """Stop the worker (drains the queue so a blocked put unblocks)."""
+        """Stop the worker (drains the queue so a blocked put unblocks,
+        then leaves a _DONE sentinel so any late consumer wakes)."""
         self._stop.set()
         while True:
             try:
                 self._queue.get_nowait()
             except queue.Empty:
                 break
+        try:
+            self._queue.put_nowait((_DONE, None))
+        except queue.Full:  # worker refilled it; consumer still unblocks
+            pass
         self._thread.join(timeout=5.0)

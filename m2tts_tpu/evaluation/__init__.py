@@ -1,5 +1,6 @@
 from m2tts_tpu.evaluation.metrics import (  # noqa: F401
     TTSEvaluator,
+    benchmark_audio_quality,
     benchmark_model_performance,
     compute_duration_accuracy,
     compute_log_spectral_distance,
@@ -8,3 +9,4 @@ from m2tts_tpu.evaluation.metrics import (  # noqa: F401
     compute_spectral_convergence,
     estimate_mos_score,
 )
+from m2tts_tpu.evaluation.stoi import compute_stoi  # noqa: F401

@@ -176,12 +176,18 @@ class TTSEvaluator:
 
     def evaluate_batch(self, pred_mels, target_mels, pred_audios=None,
                        target_audios=None, pred_durations=None,
-                       target_durations=None, mel_lengths=None
-                       ) -> Dict[str, float]:
+                       target_durations=None, mel_lengths=None,
+                       n_valid: Optional[int] = None) -> Dict[str, float]:
+        """``n_valid``: only the first n_valid samples are aggregated —
+        bucketed eval batches under drop_last=False pad the tail by
+        cycling their own samples (data/dataset.py make_batches), and
+        averaging over those duplicates would overweight them."""
         pred_mels = np.asarray(pred_mels)
         target_mels = np.asarray(target_mels)
         all_metrics: List[Dict[str, float]] = []
-        for i in range(pred_mels.shape[0]):
+        n = pred_mels.shape[0] if n_valid is None else min(
+            int(n_valid), pred_mels.shape[0])
+        for i in range(n):
             pm, tm = pred_mels[i], target_mels[i]
             if mel_lengths is not None:
                 n = int(mel_lengths[i])
@@ -256,10 +262,91 @@ def benchmark_model_performance(model, params, batches: Iterable[Dict],
         mel_pred, dur_pred = fns[T](params, jnp.asarray(batch["phoneme_ids"]),
                                     jnp.asarray(batch["text_lengths"]),
                                     jnp.asarray(batch["durations"]))
+        n_valid = int(batch.get("n_valid", batch["phoneme_ids"].shape[0]))
         all_metrics.append(evaluator.evaluate_batch(
             np.asarray(mel_pred), batch["mel"],
             pred_durations=np.asarray(dur_pred),
             target_durations=batch["durations"],
-            mel_lengths=batch["mel_lengths"]))
-        processed += batch["phoneme_ids"].shape[0]
+            mel_lengths=batch["mel_lengths"], n_valid=n_valid))
+        processed += n_valid
     return aggregate_metrics(all_metrics)
+
+
+def benchmark_audio_quality(model, params, batches: Iterable[Dict],
+                            num_samples: int = 32,
+                            sample_rate: int = 22050,
+                            hop_length: int = 256,
+                            _fn_cache: Optional[Dict] = None
+                            ) -> Dict[str, float]:
+    """Intrusive audio-quality metrics over full utterances: run the full
+    teacher-forced model (acoustic + vocoder) and score the synthesized
+    waveform against the GROUND-TRUTH recording — STOI, spectral
+    convergence, log-spectral distance. Beyond the reference: its only
+    audio metric is the near-constant heuristic MOS (reference
+    src/evaluation/metrics.py:79-148); these are the discriminating
+    quality axes SURVEY §7 step 7 planned.
+
+    ``batches`` must carry ground-truth waveforms (make_batches with
+    ``audio_samples=max_mel_frames * hop_length``). When the vocoder's
+    upsample factor differs from the mel hop (the 64× compat config),
+    the prediction is resampled to the recording's rate first.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from m2tts_tpu.evaluation.stoi import compute_stoi
+
+    upsample = 1
+    for r in model.upsample_rates:
+        upsample *= r
+    fns = _fn_cache if _fn_cache is not None else {}
+    per_sample: List[Dict[str, float]] = []
+    for batch in batches:
+        if len(per_sample) >= num_samples:
+            break
+        if "audio" not in batch:
+            raise ValueError("benchmark_audio_quality needs batches with "
+                             "ground-truth audio (pass audio_samples= to "
+                             "make_batches)")
+        T = batch["mel"].shape[1]
+        key = ("audio", T)
+        if key not in fns:
+            def make(T):
+                def fwd(params, ids, lengths, durations):
+                    out = model.apply(params, ids, lengths, durations,
+                                      max_frames=T, run_vocoder=True)
+                    return out["audio_output"][..., 0]
+                return jax.jit(fwd)
+            fns[key] = make(T)
+        audio_pred = np.asarray(fns[key](
+            params, jnp.asarray(batch["phoneme_ids"]),
+            jnp.asarray(batch["text_lengths"]),
+            jnp.asarray(batch["durations"])))
+        n_valid = int(batch.get("n_valid", batch["phoneme_ids"].shape[0]))
+        for i in range(n_valid):
+            if len(per_sample) >= num_samples:
+                break
+            n = int(batch["mel_lengths"][i])
+            if n <= 0:
+                continue
+            pred = audio_pred[i, : n * upsample]
+            gt = np.asarray(batch["audio"][i, : n * hop_length], np.float64)
+            if upsample != hop_length:
+                from math import gcd
+
+                from scipy.signal import resample_poly
+
+                g = gcd(hop_length, upsample)
+                pred = resample_poly(np.asarray(pred, np.float64),
+                                     hop_length // g, upsample // g)
+            m = min(len(pred), len(gt))
+            pred, gt = pred[:m], gt[:m]
+            stoi = compute_stoi(gt, pred, sample_rate)
+            entry = {
+                "spectral_convergence": compute_spectral_convergence(pred, gt),
+                "log_spectral_distance": compute_log_spectral_distance(pred, gt),
+            }
+            if np.isfinite(stoi):
+                entry["stoi"] = float(stoi)
+            per_sample.append(entry)
+    return aggregate_metrics(per_sample)

@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Dict, Sequence
 
 import jax.numpy as jnp
-import numpy as np
 from jax import Array
 
 

@@ -39,12 +39,24 @@ class StreamingVocoder:
 
     def __init__(self, model: M2TTS, params, chunk_frames: int = 64,
                  halo_frames: int = DEFAULT_HALO_FRAMES,
-                 vocoder_backend: str = "xla"):
+                 vocoder_backend: str = "xla",
+                 compute_dtype: str = "f32"):
         """``vocoder_backend``: same three implementations as the batch
         Synthesizer ('xla' | 'mm' | 'pallas'), all numerically identical —
         the streaming and batch paths literally share the kernels
         (BASELINE.json: "batched and streaming vocoder paths share the
-        same kernels")."""
+        same kernels").
+
+        ``compute_dtype``: 'bf16' casts params inside the compiled chunk
+        (matching the batch Synthesizer's bf16 serving graph); 'auto' =
+        bf16 on TPU. Default 'f32' — the streamed==full-graph exactness
+        contract is tightest there."""
+        import jax as _jax
+
+        if compute_dtype == "auto":
+            compute_dtype = ("bf16" if _jax.default_backend() == "tpu"
+                             else "f32")
+        self.compute_dtype = compute_dtype
         self.model = model
         self.params = params
         self.chunk_frames = chunk_frames
@@ -92,11 +104,18 @@ class StreamingVocoder:
         else:
             raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
 
+        bf16 = self.compute_dtype == "bf16" and vocoder_backend == "xla"
+
         def run_chunk(params, mel_window):
             """mel_window: [B, window, C] → window audio [B, window*U].
             The variable center slice happens on the host (the last chunk's
             offset differs, and output shapes under jit must be static)."""
-            return vf(params, mel_window)
+            if bf16:  # packed-weight (mm/pallas) kernels stay f32
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, params)
+                mel_window = mel_window.astype(jnp.bfloat16)
+            return vf(params, mel_window).astype(jnp.float32)
 
         self._run_chunk = jax.jit(run_chunk)
         self._window = window
@@ -149,7 +168,8 @@ class StreamingSynthesizer:
     def __init__(self, model: M2TTS, params, chunk_frames: int = 64,
                  max_frames: int = 1000, text_bucket: int = 128,
                  halo_frames: int = DEFAULT_HALO_FRAMES,
-                 vocoder_backend: str = "xla"):
+                 vocoder_backend: str = "xla",
+                 compute_dtype: str = "f32"):
         from m2tts_tpu.frontend.text import TextProcessor
 
         self.model = model
@@ -159,9 +179,15 @@ class StreamingSynthesizer:
         self.text_processor = TextProcessor()
         self.vocoder = StreamingVocoder(model, params, chunk_frames,
                                         halo_frames,
-                                        vocoder_backend=vocoder_backend)
+                                        vocoder_backend=vocoder_backend,
+                                        compute_dtype=compute_dtype)
+        bf16 = self.vocoder.compute_dtype == "bf16"
 
         def acoustic(params, ids, lengths, scale):
+            if bf16:  # match the batch Synthesizer's bf16 serving graph
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, params)
             enc, mask = model.apply(params, ids, lengths, True,
                                     method=lambda m, i, l, d:
                                     m.text_encoder(i, l, d))
@@ -179,7 +205,9 @@ class StreamingSynthesizer:
                 params, regulated,
                 frame_mask if model.mask_decoder else None,
                 method=lambda m, x, mask: m.decoder(x, mask, True))
-            return mel, total
+            # f32 at the host boundary regardless of compute dtype (the
+            # chunked vocoder re-casts per chunk)
+            return mel.astype(jnp.float32), total
 
         self._acoustic = jax.jit(acoustic)
 

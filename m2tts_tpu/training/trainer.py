@@ -46,23 +46,38 @@ from m2tts_tpu.utils.profiling import StepProfiler
 logger = logging.getLogger(__name__)
 
 
-def _write_best_score(ckpt_dir, step: int, score: float) -> None:
-    """Record the best-validation score beside the pinned checkpoint so a
-    resumed run never overwrites the true best with a worse state."""
+def _write_best_score(ckpt_dir, step: int, score: float,
+                      metric: str = "") -> None:
+    """Record the best-validation score (and WHICH metric produced it)
+    beside the pinned checkpoint so a resumed run never overwrites the
+    true best with a worse state."""
     import json
 
     path = Path(ckpt_dir) / "best" / "score.json"
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps({"step": int(step), "score": float(score)}))
+    path.write_text(json.dumps({"step": int(step), "score": float(score),
+                                "metric": str(metric)}))
 
 
-def _read_best_score(ckpt_dir, default: float) -> float:
+def _read_best_score(ckpt_dir, default: float, metric: str = "") -> float:
+    """Stored best score, or ``default`` when none exists — or when the
+    stored score was produced by a DIFFERENT metric (e.g. the run toggled
+    validate_quality): comparing scores across metric scales would
+    permanently block best-checkpoint saves (ADVICE r2)."""
     import json
 
     path = Path(ckpt_dir) / "best" / "score.json"
     if path.exists():
         try:
-            return float(json.loads(path.read_text())["score"])
+            data = json.loads(path.read_text())
+            stored_metric = str(data.get("metric", ""))
+            if stored_metric and metric and stored_metric != metric:
+                logger.warning(
+                    "best/score.json was produced by metric %r but this "
+                    "run gates on %r — resetting the best score",
+                    stored_metric, metric)
+                return default
+            return float(data["score"])
         except (ValueError, KeyError):
             pass
     return default
@@ -341,7 +356,8 @@ class Stage1Trainer:
             # post-resume validation would always "improve" on inf and
             # rotate away the genuine best checkpoint
             self.best_val_loss = _read_best_score(
-                self.ckpt.directory, self.best_val_loss)
+                self.ckpt.directory, self.best_val_loss,
+                metric="val_total_loss")
             logger.info("Resumed from step %d", step)
 
         from m2tts_tpu.data.prefetch import DevicePrefetcher
@@ -450,7 +466,8 @@ class Stage1Trainer:
                               "step": self.step},
                              config=self.config,
                              metrics={"val_total_loss": float(score)})
-        _write_best_score(self.ckpt.directory, self.step, score)
+        _write_best_score(self.ckpt.directory, self.step, score,
+                          metric="val_total_loss")
         logger.info("New best validation loss %.6f at step %d", score,
                     self.step)
 

@@ -18,6 +18,23 @@ import jax
 logger = logging.getLogger(__name__)
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu <cli>`` actually work.
+
+    The axon TPU plugin wins over the plain env var, so every CLI calls
+    this before first device use — the same dance tests/conftest.py and
+    scripts/test_pipeline.py --cpu do. No-op when the var is unset or
+    the backend is already initialized."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # backend already up - nothing to do
+            pass
+
+
 def setup_devices(platform: Optional[str] = None) -> List[jax.Device]:
     """Return the devices to run on (TPU when present, else CPU)."""
     devices = jax.devices(platform) if platform else jax.devices()

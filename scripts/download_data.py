@@ -131,37 +131,99 @@ def create_ljspeech_subset(ljspeech_dir: Path, subset_size: int) -> Path:
     return subset_dir
 
 
-def build_synthetic_corpus(data_dir: Path, n: int, sample_rate: int = 22050) -> Path:
-    """LJSpeech-format corpus of sine sweeps + generated sentences.
+def _phoneme_signal(ph: str, n_samples: int, sample_rate: int,
+                    f0_shift: float) -> "np.ndarray":
+    """Deterministic audio signature for one phoneme.
 
-    Deterministic (seeded) so tests and CI runs are reproducible. The audio
-    is not speech, but it exercises the identical ingest → mel → bucketing →
-    training path as real data without network access.
+    Each phoneme identity maps (via a stable hash) to a fixed spectral
+    recipe — vowel-ish phonemes get a harmonic tone with 3 formant-like
+    partials, consonant-ish ones get band-shaped noise, SIL/SP are near
+    silence. The mapping is text→audio DETERMINISTIC (up to per-utterance
+    prosody factors), so an acoustic model can genuinely LEARN it and
+    quality metrics move during training — a pure sine-sweep corpus (the
+    r2 version) carried no text information at all, which is why r2's
+    validation quality was flat (VERDICT r2 task 1).
     """
+    import zlib
+
+    import numpy as np
+
+    if ph in ("SIL", "SP"):
+        rng = np.random.default_rng(7)
+        return (1e-3 * rng.standard_normal(n_samples)).astype(np.float32)
+    h = zlib.crc32(ph.encode())
+    t = np.arange(n_samples) / sample_rate
+    if h % 3 != 0:  # "voiced": harmonic stack with phoneme-specific timbre
+        f0 = (95.0 + (h % 181)) * f0_shift
+        amps = [1.0, 0.6 + (h >> 3) % 7 / 10.0, 0.3 + (h >> 6) % 5 / 10.0,
+                0.15]
+        sig = sum(a * np.sin(2 * np.pi * (k + 1) * f0 * t + (h >> k) % 7)
+                  for k, a in enumerate(amps))
+        # slow formant-ish AM unique to the phoneme
+        sig *= 1.0 + 0.25 * np.sin(2 * np.pi * (3.0 + h % 11) * t)
+    else:  # "unvoiced": band-limited noise burst
+        rng = np.random.default_rng(h)
+        noise = rng.standard_normal(n_samples + 32)
+        k = 4 + (h >> 4) % 24  # smoothing width sets the band
+        kernel = np.hanning(k + 2)[1:-1]
+        sig = np.convolve(noise, kernel / kernel.sum(), "same")[:n_samples]
+        sig = noise[:n_samples] - sig  # high-pass-ish fricative noise
+    return np.asarray(sig, np.float32)
+
+
+def build_synthetic_corpus(data_dir: Path, n: int, sample_rate: int = 22050) -> Path:
+    """LJSpeech-format corpus whose audio is a deterministic function of
+    the text's phoneme sequence, with per-utterance prosody variation.
+
+    Deterministic (seeded) so runs are reproducible. Per utterance: a
+    random sentence is phonemized with the repo's own G2P, every phoneme
+    renders its hash-keyed spectral signature (``_phoneme_signal``) for a
+    hash-keyed duration scaled by a per-utterance speaking rate, under a
+    per-utterance F0 shift (0.7-1.4x) — the varied-F0/duration corpus
+    VERDICT r2 asked for. Air-gapped stand-in for LJSpeech; exercises the
+    identical ingest → mel → bucketing → training path.
+    """
+    import zlib
+
     import numpy as np
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from m2tts_tpu.frontend.audio import save_wav
+    from m2tts_tpu.frontend.text import TextProcessor
 
+    tp = TextProcessor()
     corpus = data_dir / f"synthetic-{n}"
     wavs = corpus / "wavs"
     wavs.mkdir(parents=True, exist_ok=True)
 
     words = ("the quick brown fox jumps over a lazy dog while printing "
-             "moved ahead with speech synthesis research on fast models").split()
+             "moved ahead with speech synthesis research on fast models "
+             "and never was there a better time to hear many good new "
+             "words spoken out loud for people who test machines").split()
     rng = np.random.default_rng(42)
     rows = []
+    fade = np.hanning(256)
     for i in range(n):
-        dur_s = float(rng.uniform(1.0, 4.0))
-        t = np.arange(int(dur_s * sample_rate)) / sample_rate
-        f0 = float(rng.uniform(80, 300))
-        f1 = float(rng.uniform(300, 3000))
-        sweep = np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * dur_s)))
-        env = np.minimum(1.0, 10 * np.minimum(t, dur_s - t))
-        audio = (0.8 * sweep * env).astype(np.float32)
+        text = " ".join(rng.choice(words, size=int(rng.integers(4, 14))))
+        phonemes = tp.text_to_phonemes(text)
+        rate = float(rng.uniform(0.8, 1.3))       # speaking rate
+        f0_shift = float(rng.uniform(0.7, 1.4))   # "speaker" F0
+        segs = []
+        for ph in phonemes:
+            h = zlib.crc32(ph.encode())
+            dur_s = (0.05 if ph == "SP" else 0.25 if ph == "SIL"
+                     else (0.06 + (h % 97) / 97.0 * 0.12)) * rate
+            m = max(int(dur_s * sample_rate), 64)
+            seg = _phoneme_signal(ph, m, sample_rate, f0_shift)
+            k = min(len(fade) // 2, m // 2)  # edge fades avoid clicks
+            seg[:k] *= fade[:k]
+            seg[-k:] *= fade[-k:]
+            segs.append(seg)
+        audio = np.concatenate(segs)
+        peak = np.abs(audio).max()
+        audio = (0.8 * audio / max(peak, 1e-6)).astype(np.float32)
         fid = f"SYN{i:05d}"
         save_wav(audio, wavs / f"{fid}.wav", sample_rate)
-        text = " ".join(rng.choice(words, size=rng.integers(4, 12)))
         rows.append((fid, text, text))
 
     with open(corpus / "metadata.csv", "w", encoding="utf-8", newline="") as f:

@@ -10,6 +10,10 @@ surface is the one-shot scripts/synthesize.py CLI). Stdlib-only
         body: {"text": str, "duration_scale": float = 1.0}
   POST /synthesize_batch   → {"results": [{"audio_b64": wav-bytes-b64,
         body: {"texts": [str], ...}    "seconds": float}, ...]}
+  POST /synthesize_stream  → audio/wav, Transfer-Encoding: chunked —
+        body: {"text": str, ...}       first audio chunk is sent as soon
+        as the chunked vocoder produces it (low-latency path; the
+        payload is a streaming WAV with unknown-length headers)
 
 Requests are funneled through a lock into the Synthesizer so concurrent
 clients share the same compiled graphs (batch them client-side via
@@ -44,8 +48,36 @@ def wav_bytes(pcm16, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(synth, info):
+def wav_stream_header(sample_rate: int) -> bytes:
+    """44-byte PCM16-mono WAV header with unknown (max) data length —
+    the streaming-WAV convention: players read until the stream ends."""
+    import struct
+
+    unknown = 0xFFFFFFFF
+    return (b"RIFF" + struct.pack("<I", unknown) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", unknown))
+
+
+def make_handler(synth, info, stream_chunk_frames: int = 64):
     lock = threading.Lock()
+    streamer = {}  # lazy singleton: built on the first /synthesize_stream
+
+    def get_streamer():
+        if "ss" not in streamer:
+            import numpy as np  # noqa: F401 (handler-scope import)
+
+            from m2tts_tpu.serving.streaming import StreamingSynthesizer
+
+            streamer["ss"] = StreamingSynthesizer(
+                synth.model, synth.params,
+                chunk_frames=stream_chunk_frames,
+                max_frames=max(synth.frame_buckets),
+                text_bucket=max(synth.text_buckets),
+                vocoder_backend=synth.vocoder_backend,
+                compute_dtype=synth.compute_dtype)
+        return streamer["ss"]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -100,6 +132,37 @@ def make_handler(synth, info):
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path == "/synthesize_stream":
+                    text = req.get("text")
+                    if not text or not isinstance(text, str):
+                        self._json(400, {"error": "'text' (string) required"})
+                        return
+                    import numpy as np
+
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def write_chunk(b: bytes):
+                        self.wfile.write(f"{len(b):X}\r\n".encode())
+                        self.wfile.write(b)
+                        self.wfile.write(b"\r\n")
+
+                    write_chunk(wav_stream_header(synth.sample_rate))
+                    # the lock is held for the WHOLE stream: chunks are
+                    # produced lazily on the device as they are written.
+                    # Headers are already sent, so a mid-stream error can
+                    # only terminate the chunked body — never _json(500).
+                    try:
+                        with lock:
+                            for chunk in get_streamer().stream(text, scale):
+                                pcm = (np.clip(chunk, -1.0, 1.0)
+                                       * 32767.0).astype(np.int16)
+                                write_chunk(pcm.tobytes())
+                    finally:
+                        self.wfile.write(b"0\r\n\r\n")
+                    return
                 elif self.path == "/synthesize_batch":
                     texts = req.get("texts")
                     if (not isinstance(texts, list) or not texts
@@ -127,7 +190,7 @@ def make_handler(synth, info):
 def build_synthesizer(args):
     from m2tts_tpu.serving import pipeline
 
-    kwargs = {}
+    kwargs = {"compute_dtype": getattr(args, "compute_dtype", "auto")}
     n = int(getattr(args, "data_parallel", 1) or 1)
     if n > 1:
         # multi-chip serving: shard the batch axis over a pure-data mesh;
@@ -161,9 +224,14 @@ def main(argv=None):
                    help="untrained demo model from --config")
     p.add_argument("--config", type=str, default="configs/flagship_tpu.yaml")
     p.add_argument("--vocoder-backend", type=str, default="auto")
+    p.add_argument("--compute-dtype", type=str, default="auto",
+                   choices=("auto", "bf16", "f32"),
+                   help="serving-graph compute dtype (auto = bf16 on TPU)")
     p.add_argument("--data-parallel", type=int, default=1, metavar="N",
                    help="shard request batches over an N-chip 'data' mesh "
                         "(requires N visible devices)")
+    p.add_argument("--stream-chunk-frames", type=int, default=64,
+                   help="mel frames per /synthesize_stream vocoder chunk")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warmup", action="store_true",
@@ -176,6 +244,9 @@ def main(argv=None):
                         "TPU hosts)")
     args = p.parse_args(argv)
 
+    from m2tts_tpu.utils.device import honor_platform_env
+    honor_platform_env()
+
     import jax
 
     synth = build_synthesizer(args)
@@ -185,9 +256,12 @@ def main(argv=None):
     info = {"device": str(jax.devices()[0]),
             "backend": jax.default_backend(),
             "vocoder_backend": synth.vocoder_backend,
+            "compute_dtype": synth.compute_dtype,
             "sample_rate": synth.sample_rate}
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(synth, info))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(synth, info,
+                     stream_chunk_frames=args.stream_chunk_frames))
     print(f"serving on http://{args.host}:{server.server_address[1]}  {info}",
           flush=True)
     try:

@@ -45,7 +45,21 @@ def main(argv=None):
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--griffin-lim", action="store_true",
                    help="invert mel with Griffin-Lim instead of the vocoder")
+    p.add_argument("--vocoder-backend", type=str, default="auto",
+                   choices=("auto", "xla", "mm", "pallas"),
+                   help="vocoder implementation (auto resolves to the "
+                        "fastest measured backend)")
+    p.add_argument("--compute-dtype", type=str, default="auto",
+                   choices=("auto", "bf16", "f32"),
+                   help="serving-graph compute dtype (auto = bf16 on TPU)")
+    p.add_argument("--streaming", action="store_true",
+                   help="chunked streaming synthesis (single --text only): "
+                        "prints first-chunk latency, output WAV is "
+                        "bit-identical to the batch path")
     args = p.parse_args(argv)
+
+    from m2tts_tpu.utils.device import honor_platform_env
+    honor_platform_env()
 
     if args.text is None and args.batch_file is None:
         p.error("one of --text / --batch-file is required")
@@ -57,12 +71,45 @@ def main(argv=None):
 
     if args.checkpoint:
         synth = pipeline.from_checkpoint(args.checkpoint,
-                                         step=_parse_step(args.step))
+                                         step=_parse_step(args.step),
+                                         vocoder_backend=args.vocoder_backend,
+                                         compute_dtype=args.compute_dtype)
     else:
-        synth = pipeline.from_torch_checkpoint(args.torch_checkpoint)
+        synth = pipeline.from_torch_checkpoint(
+            args.torch_checkpoint, vocoder_backend=args.vocoder_backend,
+            compute_dtype=args.compute_dtype)
 
     texts = ([args.text] if args.text is not None
              else [l.strip() for l in open(args.batch_file) if l.strip()])
+
+    if args.streaming:
+        if len(texts) != 1 or args.griffin_lim:
+            p.error("--streaming requires a single --text and no "
+                    "--griffin-lim")
+        from m2tts_tpu.serving.streaming import StreamingSynthesizer
+
+        ss = StreamingSynthesizer(synth.model, synth.params,
+                                  vocoder_backend=synth.vocoder_backend,
+                                  compute_dtype=synth.compute_dtype)
+        t0 = time.perf_counter()
+        chunks = []
+        first_ms = None
+        for chunk in ss.stream(texts[0], args.duration_scale):
+            if first_ms is None:
+                first_ms = (time.perf_counter() - t0) * 1000.0
+            chunks.append(chunk)
+        elapsed = time.perf_counter() - t0
+        import numpy as np
+
+        audio = np.concatenate(chunks) if chunks else np.zeros(0, "float32")
+        save_wav(audio, args.output, args.sample_rate)
+        dur = len(audio) / args.sample_rate
+        print(f"streamed {len(chunks)} chunks, {dur:.2f}s audio -> "
+              f"{args.output}")
+        print(f"first-chunk latency {first_ms:.1f} ms (incl. compile on "
+              f"first call); total {elapsed:.3f}s "
+              f"(RTF {elapsed / max(dur, 1e-9):.4f})")
+        return 0
 
     t0 = time.perf_counter()
     budget = synth.phoneme_budget() - 2

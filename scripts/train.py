@@ -21,6 +21,9 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*", help="key.path=value overrides")
     args = p.parse_args(argv)
 
+    from m2tts_tpu.utils.device import honor_platform_env
+    honor_platform_env()
+
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")

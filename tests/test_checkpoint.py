@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from m2tts_tpu.models import M2TTS, build_model
+from m2tts_tpu.models import build_model
 from m2tts_tpu.utils.checkpoint import CheckpointManager, load_for_inference
 from m2tts_tpu.utils.config import Config, load_config
 

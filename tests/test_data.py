@@ -1,7 +1,6 @@
 """Data pipeline: bucketing, collation, dummy dataset, LJSpeech parsing."""
 
 import numpy as np
-import pytest
 
 from m2tts_tpu.data.dataset import (
     DummyDataset, TTSDataset, collate, data_iterator, make_batches,
@@ -153,3 +152,46 @@ def test_data_iterator_pads_tiny_datasets():
     for _ in range(4):
         b = next(it)
         assert b["phoneme_ids"].shape[0] == 8
+
+
+def test_padded_leftover_batches_carry_real_sample_count():
+    """drop_last=False pads by cycling; n_valid records the REAL count so
+    metric consumers can exclude the duplicates (ADVICE r2)."""
+    ds = DummyDataset(size=10, mel_dim=8, max_text_length=40,
+                      max_mel_length=150, seed=0)
+    batches = list(make_batches(ds, 4, [(64, 256)], seed=0,
+                                drop_last=False))
+    counts = sorted(int(b["n_valid"]) for b in batches)
+    assert counts == [2, 4, 4]  # 10 = 4 + 4 + (2 padded to 4)
+    # n_valid is 0-d so device-transfer paths can skip it
+    assert all(b["n_valid"].ndim == 0 for b in batches)
+
+
+def test_dataloader_len_counts_per_bucket():
+    """__len__ must follow the per-bucket emission rule, not
+    len(dataset)//batch_size (ADVICE r2): with two buckets the global
+    divmod over- or under-counts."""
+    from m2tts_tpu.data.dataset import DataLoader
+
+    class TwoBucketDS:
+        # 6 short samples + 5 long ones, batch_size 4:
+        #   drop_last=True  -> 1 + 1 = 2 batches (divmod says 2 too; per
+        #   bucket: short 6//4=1, long 5//4=1)
+        #   drop_last=False -> 2 + 2 = 4 batches (divmod says 3)
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            long = i >= 6
+            ml = 200 if long else 80
+            return {"phoneme_ids": np.ones(30 if long else 10, np.int32),
+                    "text_length": 30 if long else 10,
+                    "durations": np.ones(30 if long else 10, np.float32),
+                    "mel": np.zeros((ml, 8), np.float32),
+                    "mel_length": ml}
+
+    ds = TwoBucketDS()
+    buckets = [(16, 128), (64, 256)]
+    for drop_last in (True, False):
+        dl = DataLoader(ds, 4, buckets, shuffle=False, drop_last=drop_last)
+        assert len(dl) == len(list(dl)), f"drop_last={drop_last}"

@@ -94,8 +94,6 @@ def test_discriminator_shapes(rng):
     # scale i sees audio downsampled by (1,2,4)
     assert logits[1].shape[1] < logits[0].shape[1]
 
-    import flax
-
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     # reference MSD measures 16,757,379 params (SURVEY.md §2.4)
     assert n_params == 16_757_379

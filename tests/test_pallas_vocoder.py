@@ -52,3 +52,32 @@ def test_shape_validation(setup):
     fn = build_fused_vocoder(packed, rates, tile=16, halo=4, interpret=True)
     with pytest.raises(ValueError):
         fn(jnp.zeros((1, 20, 16)))  # not a multiple of tile
+
+
+def test_fused_bf16_close_to_module(setup, rng):
+    """bf16 MXU mode: bf16 weights/activations, f32 accumulate — equal to
+    the f32 XLA module within the bf16 mantissa floor."""
+    model, params, packed, rates = setup
+    fn = build_fused_vocoder(packed, rates, tile=16, halo=4, interpret=True,
+                             compute_dtype="bf16")
+    mel = jnp.asarray(rng.normal(size=(2, 64, 16)), jnp.float32)
+    ref = np.asarray(model.apply(params, mel,
+                                 method=lambda m, x: m.vocoder(x)))[..., 0]
+    out = np.asarray(fn(mel))
+    assert out.shape == ref.shape
+    assert out.dtype == np.float32
+    assert np.mean(np.abs(out - ref)) < 2e-2
+    # tanh output: bounded, so abs tolerance is meaningful everywhere
+    assert np.max(np.abs(out - ref)) < 0.15
+
+
+def test_fused_multi_batch_pipelined(setup, rng):
+    """The flat pipelined grid (prefetch + deferred output waits) crosses
+    batch boundaries; every row must still match the module."""
+    model, params, packed, rates = setup
+    fn = build_fused_vocoder(packed, rates, tile=16, halo=4, interpret=True)
+    mel = jnp.asarray(rng.normal(size=(4, 48, 16)), jnp.float32)
+    ref = np.asarray(model.apply(params, mel,
+                                 method=lambda m, x: m.vocoder(x)))[..., 0]
+    out = np.asarray(fn(mel))
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-4)

@@ -64,3 +64,21 @@ def test_prefetch_overlaps_slow_consumer():
     assert len(seen) >= 3  # first + depth-2 queue (+ possibly sentinel path)
     assert first["i"] == 0
     pf.close()
+
+
+def test_next_after_close_raises_stop_iteration():
+    """A consumer calling next() after close() (or racing it) must get
+    StopIteration promptly, never block forever (ADVICE r2)."""
+    def forever():
+        while True:
+            yield {"x": np.zeros(1)}
+
+    pf = DevicePrefetcher(forever(), lambda b: b)
+    next(pf)
+    pf.close()
+    t0 = time.time()
+    with pytest.raises(StopIteration):
+        while True:  # drain whatever close() left, then expect the stop
+            next(pf)
+            assert time.time() - t0 < 5.0
+    assert time.time() - t0 < 5.0

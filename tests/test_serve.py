@@ -17,22 +17,29 @@ from m2tts_tpu.serving.pipeline import Synthesizer
 
 
 @pytest.fixture(scope="module")
-def server_url():
+def serve_synth():
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    return Synthesizer(model, params, text_buckets=(32,), frame_buckets=(64,),
+                       batch_buckets=(1, 2))
+
+
+@pytest.fixture(scope="module")
+def server_url(serve_synth):
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from scripts.serve import make_handler
 
-    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
-                  text_encoder_layers=1, decoder_layers=1)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
-                        max_frames=16, run_vocoder=True)
-    synth = Synthesizer(model, params, text_buckets=(32,), frame_buckets=(64,),
-                        batch_buckets=(1, 2))
+    synth = serve_synth
     info = {"device": "test", "backend": jax.default_backend(),
             "vocoder_backend": synth.vocoder_backend, "sample_rate": 22050}
-    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(synth, info))
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(synth, info,
+                                              stream_chunk_frames=16))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{server.server_address[1]}"
@@ -112,3 +119,44 @@ def test_long_text_auto_chunks(server_url):
     assert status == 200 and ctype == "audio/wav"
     with wave.open(io.BytesIO(body)) as f:
         assert f.getnframes() > 0
+
+
+def test_synthesize_stream_chunked_wav(server_url, serve_synth):
+    """/synthesize_stream returns a chunked streaming WAV whose PCM
+    matches the StreamingSynthesizer (same kernels/params) exactly and
+    the batch path up to cross-jit float reassociation (VERDICT r3
+    task 4)."""
+    import numpy as np
+
+    from m2tts_tpu.serving.streaming import StreamingSynthesizer
+
+    text = "hello streaming world"
+    status, ctype, body = _post(server_url + "/synthesize_stream",
+                                {"text": text, "duration_scale": 8.0})
+    assert status == 200
+    assert ctype == "audio/wav"
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm = np.frombuffer(body[44:], "<i2")
+    assert len(pcm) > 0
+
+    synth = serve_synth
+    ss = StreamingSynthesizer(
+        synth.model, synth.params, chunk_frames=16,
+        max_frames=max(synth.frame_buckets),
+        text_bucket=max(synth.text_buckets),
+        vocoder_backend=synth.vocoder_backend,
+        compute_dtype=synth.compute_dtype)
+    local = np.concatenate(list(ss.stream(text, 8.0)))
+    local_pcm = (np.clip(local, -1.0, 1.0) * 32767.0).astype(np.int16)
+    assert len(local_pcm) == len(pcm)
+    np.testing.assert_array_equal(pcm, local_pcm)
+
+    # batch path at the same frame budget: same audio up to fp
+    # reassociation across separately-jitted graphs (±1 PCM LSB)
+    batch = synth.synthesize_batch([text], duration_scale=8.0,
+                                   max_frames=max(synth.frame_buckets))[0]
+    bp = batch["audio_pcm"]
+    n = min(len(bp), len(pcm))
+    assert abs(len(bp) - len(pcm)) <= 2 * 16  # chunk-boundary trim slack
+    assert np.max(np.abs(pcm[:n].astype(np.int32)
+                         - bp[:n].astype(np.int32))) <= 2

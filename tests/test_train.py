@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from m2tts_tpu.data.dataset import DummyDataset
-from m2tts_tpu.training.trainer import Stage1Trainer, make_lr_schedule, make_optimizer
+from m2tts_tpu.training.trainer import Stage1Trainer, make_lr_schedule
 from m2tts_tpu.utils.config import Config
 
 
