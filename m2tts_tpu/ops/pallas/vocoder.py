@@ -175,36 +175,38 @@ def fused_vocoder_forward(mel: Array, packed: Dict, rates: Sequence[int],
     for r in rates:
         U *= r
     cdtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
-    # The audio staging buffer is a 1-D VMEM ref, which Mosaic tiles in
-    # 1024-element chunks; the DMA source offset (q*tile - start) * U ∈
-    # {0, halo*U, 2*halo*U} must be PROVABLY divisible by 1024, so bump
-    # halo until halo*U is a 1024-multiple and emit the offset as
-    # (d / halo) * (halo*U). Larger halo only adds overcompute, never
-    # changes results (the clamp trick is exact for any halo ≥ the
-    # receptive field). Interpret mode has no such constraint — keep the
-    # requested halo there so small test shapes stay valid.
-    import math
-
-    if not interpret:
-        halo = max(halo, 1024 // math.gcd(U, 1024))
-        if halo > tile:
-            # The output-DMA offset ((q*tile - start)//halo)*(halo*U) is
-            # exact only while the edge clamp engages solely on the first/
-            # last tile, i.e. halo <= tile; with halo > tile (rates where
-            # gcd(U, 1024) < 1024/tile) interior tiles would silently
-            # emit the wrong window. Refuse instead of corrupting audio —
-            # callers fall back to the mm/XLA vocoder backends.
-            raise ValueError(
-                f"fused vocoder: alignment-bumped halo {halo} exceeds tile "
-                f"{tile} (upsample product {U}); raise tile to >= {halo} "
-                f"or use the 'mm'/'xla' vocoder backend for these rates")
+    # Mosaic constraints, each probed on real v5e hardware (r3):
+    #  - a lane-offset row-slice DMA source and a 1-D store into a row of
+    #    a 2-D VMEM ref are both REJECTED, so the center window is
+    #    extracted as a VALUE (three static slices + a 2-way select) and
+    #    staged in two separate 1-D buffers selected by pl.when;
+    #  - 1-D VMEM → 1-D HBM DMA with a dynamic offset needs the offset
+    #    provably 1024-aligned, hence the (tile*U) % 1024 check below
+    #    (the r2 kernel bumped HALO for this, which rejected rate configs
+    #    where the bump exceeded the tile — the value-slice design needs
+    #    no halo alignment at all, so halo is the true receptive field);
+    #  - VMEM scratch sublane dims must be multiples of 8 (win check).
     win = tile + 2 * halo
+    if not interpret:
+        if (tile * U) % 1024:
+            raise ValueError(
+                f"fused vocoder: tile*U = {tile * U} must be a multiple of"
+                f" 1024 on TPU (output DMA alignment); raise tile or use"
+                f" the 'mm'/'xla' backend for tiny upsample products")
+        if win % 8:
+            raise ValueError(
+                f"fused vocoder: tile+2*halo = {win} must be a multiple of"
+                f" 8 on TPU (VMEM sublane tiling)")
     flat_weights, C_pad = _flatten_padded(packed, rates, cdtype)
     n_w = len(flat_weights)
 
     B, T, C = mel.shape
     if T % tile or T < win:
         raise ValueError(f"T={T} must be a multiple of tile={tile} and >= {win}")
+    if halo > tile:
+        # with halo > tile the edge clamp can engage on interior tiles,
+        # which the 3-way center select above does not model
+        raise ValueError(f"halo={halo} must be <= tile={tile}")
     if C != C_pad:
         mel = jnp.pad(mel, ((0, 0), (0, 0), (0, C_pad - C)))
     Q = T // tile
@@ -212,8 +214,9 @@ def fused_vocoder_forward(mel: Array, packed: Dict, rates: Sequence[int],
 
     def kernel(mel_hbm, *refs):
         w_refs = refs[:n_w]
-        out_ref = refs[n_w]  # [B*Q, tile*U] — one row per program
-        win_buf, audio_buf, in_sem, out_sem = refs[n_w + 1:n_w + 5]
+        out_ref = refs[n_w]  # flat [B*Q*tile*U] audio
+        win_buf, audio_buf0, audio_buf1, in_sem, out_sem = \
+            refs[n_w + 1:n_w + 6]
 
         i = pl.program_id(0)
 
@@ -229,15 +232,11 @@ def fused_vocoder_forward(mel: Array, packed: Dict, rates: Sequence[int],
                 mel_hbm.at[b, pl.ds(start, win), :], win_buf.at[slot],
                 in_sem.at[slot])
 
-        def out_dma(j, slot):
-            _, q, start = win_of(j)
-            # provably 1024-aligned lane offset: halo*U is a 1024-multiple
-            # (bumped below), and (q*tile - start) is a halo-multiple at
-            # the only programs where the clamp engages (first/last)
-            off = ((q * tile - start) // halo) * (halo * U)
+        def out_dma(buf, j, slot):
+            # 1-D VMEM → 1-D HBM at j*(tile*U): provably 1024-aligned
             return pltpu.make_async_copy(
-                audio_buf.at[slot, pl.ds(off, tile * U)],
-                out_ref.at[j], out_sem.at[slot])
+                buf, out_ref.at[pl.ds(j * (tile * U), tile * U)],
+                out_sem.at[slot])
 
         slot = i % 2
 
@@ -277,43 +276,66 @@ def fused_vocoder_forward(mel: Array, packed: Dict, rates: Sequence[int],
         ow, ob = take()
         audio = jnp.tanh(_mm3(x, ow, ob))[:, 0]    # [win*U] f32
 
-        # slot reuse: program i-2 wrote this audio slot — its write-back
-        # must have landed before we overwrite the staging buffer
-        @pl.when(i >= 2)
-        def _():
-            out_dma(i - 2, slot).wait()
+        # center-window extraction as STATIC value slices: the window
+        # start was clamped into [0, T-win], so the center offset is 0 on
+        # the first tile of an utterance, 2*halo*U on the last, halo*U
+        # elsewhere. A value-level dynamic_slice has no TPU lowering —
+        # two vector selects are free.
+        _, q, _ = win_of(i)
+        mid = audio[halo * U: halo * U + tile * U]
+        first = audio[0: tile * U]
+        last = audio[2 * halo * U: 2 * halo * U + tile * U]
+        center = jnp.where(q == 0, first,
+                           jnp.where(q == Q - 1, last, mid) if Q > 1 else mid)
 
-        audio_buf[slot] = audio
-        out_dma(i, slot).start()
+        # Deferred write-back, one branch per staging buffer (Mosaic
+        # rejects dynamic-slot 1-D row stores): wait for the DMA started
+        # two programs ago on this buffer (slot reuse), store, start the
+        # own DMA — it completes under the NEXT programs' compute.
+        @pl.when(slot == 0)
+        def _():
+            @pl.when(i >= 2)
+            def _():
+                out_dma(audio_buf0, i - 2, 0).wait()
+            audio_buf0[:] = center
+            out_dma(audio_buf0, i, 0).start()
+
+        @pl.when(slot == 1)
+        def _():
+            @pl.when(i >= 2)
+            def _():
+                out_dma(audio_buf1, i - 2, 1).wait()
+            audio_buf1[:] = center
+            out_dma(audio_buf1, i, 1).start()
 
         # final program drains the in-flight output DMAs (total is static)
-        if total > 1:
-            @pl.when(i == total - 1)
-            def _():
-                out_dma(i - 1, (i - 1) % 2).wait()
-
         @pl.when(i == total - 1)
         def _():
-            out_dma(i, slot).wait()
+            if total > 1:
+                prev = (audio_buf0, audio_buf1)[(total - 2) % 2]
+                out_dma(prev, i - 1, (total - 2) % 2).wait()
+            own = (audio_buf0, audio_buf1)[(total - 1) % 2]
+            out_dma(own, i, (total - 1) % 2).wait()
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_w)]
     out_spec = pl.BlockSpec(memory_space=pl.ANY)
-    audio_rows = pl.pallas_call(
+    audio_flat = pl.pallas_call(
         kernel,
         grid=(total,),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((total, tile * U), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total * tile * U,), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, win, C_pad), jnp.float32),
-            pltpu.VMEM((2, win * U), jnp.float32),
+            pltpu.VMEM((tile * U,), jnp.float32),
+            pltpu.VMEM((tile * U,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(mel, *flat_weights)
-    return audio_rows.reshape(B, T * U)
+    return audio_flat.reshape(B, T * U)
 
 
 def build_fused_vocoder(packed: Dict, rates: Sequence[int],

@@ -109,13 +109,13 @@ class Synthesizer:
         if vocoder_backend not in ("xla", "mm", "pallas", "auto"):
             raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
         if vocoder_backend == "auto":
-            # Measured device-only on 1x v5e (2026-08-17, batch 64 x 512
-            # frames): XLA vocoder 23.6 ms/batch vs fused Pallas 62.6 ms
-            # (256ch); XLA also wins at 512ch (flagship_xl). XLA's own
-            # conv fusion beats the hand-written kernel at these channel
-            # counts — exactly SURVEY.md §7 hard-part (c) — so 'auto'
-            # means 'xla'. The pallas/mm backends remain selectable and
-            # equivalence-tested.
+            # Measured on 1x v5e (r3 shootout, batch 64 x 512 frames):
+            # XLA 17.2 ms f32 / 13.7 ms bf16 vs fused Pallas 50.2 ms at
+            # 256ch; 31.7 / 21.6 vs 52.3 at 512ch. XLA f32 sits at the
+            # HBM roofline and bf16 goes under it; the kernel is lane-
+            # padding-bound (docs/DESIGN.md §2 has the full argument) —
+            # so 'auto' means 'xla'. The pallas/mm backends remain
+            # selectable and equivalence-tested.
             vocoder_backend = "xla"
         if vocoder_backend == "pallas" and jax.default_backend() == "tpu" \
                 and not self._pallas_available():
