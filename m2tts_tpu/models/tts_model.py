@@ -315,7 +315,19 @@ def init_params(model: M2TTS, rng, *args, device=None, **kwargs):
     """
     import jax
 
-    cpu = jax.local_devices(backend="cpu")[0]
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        # Host CPU backend unavailable (jax_platforms restricted to the
+        # accelerator plugin): fall back to initializing on the default
+        # device. Correct, but over a tunneled TPU this pays one network
+        # round trip per init op (~90 s flagship) — keep cpu reachable.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "host cpu backend unavailable; initializing params on %s "
+            "(slow over a tunneled backend)", jax.devices()[0])
+        return model.init(rng, *args, **kwargs)
     # operands must live on host too, else ops follow their placement
     rng, args = jax.device_put((rng, args), cpu)
     with jax.default_device(cpu):

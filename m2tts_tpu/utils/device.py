@@ -28,7 +28,12 @@ def honor_platform_env() -> None:
     import os
 
     plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
+    # Only act when the var actually asks for the host CPU. Restricting
+    # jax_platforms to the accelerator plugin (e.g. the driver exporting
+    # JAX_PLATFORMS=axon) would make the host "cpu" backend unavailable,
+    # which breaks host-side param init (models.init_params) — and the
+    # plugin is the default platform anyway, so there is nothing to do.
+    if plat and "cpu" in {p.strip() for p in plat.split(",")}:
         try:
             jax.config.update("jax_platforms", plat)
         except Exception:  # backend already up - nothing to do
