@@ -47,15 +47,12 @@ EVAL_TEXTS = [
 def main():
     import jax
 
-    try:
-        # persistent compilation cache: bench graphs are identical run to
-        # run, so recompiles (4-30s each over the tunnel, much worse under
-        # congestion) collapse to local cache hits after the first run
-        jax.config.update("jax_compilation_cache_dir",
-                          str(Path(__file__).parent / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compilation cache: bench graphs are identical run to
+    # run, so recompiles (4-30s each over the tunnel, much worse under
+    # congestion) collapse to local cache hits after the first run
+    from m2tts_tpu.utils.device import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -49,8 +49,10 @@ def main(argv=None):
                    help="print one JSON object instead of a report")
     args = p.parse_args(argv)
 
-    from m2tts_tpu.utils.device import honor_platform_env
+    from m2tts_tpu.utils.device import (enable_persistent_compile_cache,
+                                        honor_platform_env)
     honor_platform_env()
+    enable_persistent_compile_cache()
 
     if not args.checkpoint and not args.torch_checkpoint:
         p.error("one of --checkpoint / --torch-checkpoint is required")

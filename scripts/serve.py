@@ -244,8 +244,10 @@ def main(argv=None):
                         "TPU hosts)")
     args = p.parse_args(argv)
 
-    from m2tts_tpu.utils.device import honor_platform_env
+    from m2tts_tpu.utils.device import (enable_persistent_compile_cache,
+                                        honor_platform_env)
     honor_platform_env()
+    enable_persistent_compile_cache()
 
     import jax
 

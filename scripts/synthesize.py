@@ -58,8 +58,10 @@ def main(argv=None):
                         "bit-identical to the batch path")
     args = p.parse_args(argv)
 
-    from m2tts_tpu.utils.device import honor_platform_env
+    from m2tts_tpu.utils.device import (enable_persistent_compile_cache,
+                                        honor_platform_env)
     honor_platform_env()
+    enable_persistent_compile_cache()
 
     if args.text is None and args.batch_file is None:
         p.error("one of --text / --batch-file is required")

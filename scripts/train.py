@@ -21,8 +21,10 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*", help="key.path=value overrides")
     args = p.parse_args(argv)
 
-    from m2tts_tpu.utils.device import honor_platform_env
+    from m2tts_tpu.utils.device import (enable_persistent_compile_cache,
+                                        honor_platform_env)
     honor_platform_env()
+    enable_persistent_compile_cache()
 
     logging.basicConfig(
         level=logging.INFO,
