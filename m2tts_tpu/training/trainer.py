@@ -21,6 +21,7 @@ training/train.py:110-492). Structural differences by design:
 from __future__ import annotations
 
 import logging
+import math
 import time
 from pathlib import Path
 from typing import Dict
@@ -237,6 +238,10 @@ class Stage1Trainer:
         # a restore also rewinds the loop counter (params and step must
         # never diverge in checkpoints/metrics).
         self._oom_snapshot = (self._host_state_copy(), 0)
+        # Loss blow-up guard (shared design with stage-2): detect at the
+        # log-interval host sync, rewind to the snapshot, bounded retries.
+        self._blowups = 0
+        self._blowup_limit = int(config.get("training.max_loss_blowups", 3))
 
     @property
     def sample_validator(self):
@@ -270,6 +275,27 @@ class Stage1Trainer:
                            snap_step)
             self.state = shard_tree(snap_state, self.mesh)
             self.step = snap_step
+
+    def _recover_after_blowup(self) -> None:
+        """Rewind to the last finite snapshot after non-finite losses.
+
+        The host data stream and dropout RNG are NOT rewound, so the
+        replayed window takes a fresh trajectory instead of replaying
+        deterministically into the same blow-up. Raises after
+        ``training.max_loss_blowups`` recoveries."""
+        self._blowups += 1
+        snap_state, snap_step = self._oom_snapshot
+        if self._blowups > self._blowup_limit:
+            raise RuntimeError(
+                f"non-finite losses at step {self.step} — "
+                f"{self._blowups - 1} rewinds already spent; lower the "
+                "learning rate or raise training.max_loss_blowups")
+        logger.error(
+            "Non-finite losses at step %d — rewinding to snapshot step %d "
+            "(blow-up %d/%d)", self.step, snap_step, self._blowups,
+            self._blowup_limit)
+        self.state = shard_tree(snap_state, self.mesh)
+        self.step = snap_step
 
     # -- compiled steps ------------------------------------------------------
     def _loss_fn(self, params, batch, rng, deterministic):
@@ -397,6 +423,10 @@ class Stage1Trainer:
 
                 if self.step % self.log_every == 0:
                     last = {k: float(v) for k, v in losses.items()}
+                    if not all(math.isfinite(v) for v in last.values()):
+                        self._recover_after_blowup()
+                        t_last = time.perf_counter()
+                        continue
                     now = time.perf_counter()
                     last["steps_per_sec"] = self.log_every / (now - t_last)
                     t_last = now

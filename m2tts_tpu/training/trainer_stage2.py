@@ -28,6 +28,7 @@ perceptual 0.5, adversarial 0.25, feature-matching 2.0; LSGAN for D.
 from __future__ import annotations
 
 import logging
+import math
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
@@ -222,6 +223,13 @@ class Stage2Trainer:
         # the loop step so recovery rewinds params and counter together
         # (mirrors stage-1).
         self._oom_snapshot = (*self._host_states_copy(), 0)
+        # GAN blow-up guard: adversarial training can go non-finite in one
+        # step with healthy losses right before (observed on TPU: finite at
+        # step 2200, NaN at 2250). Detection piggybacks on the log-interval
+        # host sync (zero extra round trips); recovery rewinds to the
+        # OOM snapshot. Limit counted per run.
+        self._blowups = 0
+        self._blowup_limit = int(tcfg.get("max_loss_blowups", 3))
         # quality validation (evaluator sweep + eval-text MOS) and periodic
         # sample generation, both reference behaviors (train_stage2.py)
         self.validate_quality = bool(tcfg.get("validate_quality", True))
@@ -242,6 +250,30 @@ class Stage2Trainer:
             self.g_state = shard_tree(g, self.mesh)
             self.d_state = shard_tree(d, self.mesh)
             self.step = snap_step
+
+    def _recover_after_blowup(self) -> None:
+        """Rewind to the last finite snapshot after non-finite losses.
+
+        The host data stream and dropout RNG are NOT rewound, so the
+        replayed window sees different batches/noise — a fresh trajectory
+        out of the blow-up rather than a deterministic replay into it.
+        Raises after ``training.max_loss_blowups`` recoveries: a model
+        that keeps exploding needs a config change (lower lr /
+        tighter clip), not silent infinite rewinds."""
+        self._blowups += 1
+        g, d, snap_step = self._oom_snapshot
+        if self._blowups > self._blowup_limit:
+            raise RuntimeError(
+                f"non-finite losses at step {self.step} — "
+                f"{self._blowups - 1} rewinds already spent; lower the "
+                "learning rate or raise training.max_loss_blowups")
+        logger.error(
+            "Non-finite losses at step %d — rewinding to snapshot step %d "
+            "(blow-up %d/%d)", self.step, snap_step, self._blowups,
+            self._blowup_limit)
+        self.g_state = shard_tree(g, self.mesh)
+        self.d_state = shard_tree(d, self.mesh)
+        self.step = snap_step
 
     # -- shared forward pieces -------------------------------------------------
     def _cast(self, params):
@@ -498,6 +530,10 @@ class Stage2Trainer:
                         continue
                     raise
                 if self.step % self.log_every == 0:
+                    if not all(math.isfinite(v) for v in metrics.values()):
+                        self._recover_after_blowup()
+                        t_last = time.perf_counter()
+                        continue
                     now = time.perf_counter()
                     metrics["steps_per_sec"] = self.log_every / (now - t_last)
                     t_last = now

@@ -71,9 +71,17 @@ class MetricsLogger:
         self._jsonl_file.flush()
 
     def close(self) -> None:
+        # Reset handles to None so a logger closed by one train() call is
+        # lazily reopened (append mode) if training is driven again — the
+        # files open on first write, so close/reuse is safe.
         if self._csv_file:
             self._csv_file.close()
+            self._csv_file = None
+            self._csv_writer = None
+            self._csv_fields = None
         if self._jsonl_file:
             self._jsonl_file.close()
+            self._jsonl_file = None
         if self._wandb is not None:
             self._wandb.finish()
+            self._wandb = None

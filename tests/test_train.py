@@ -269,3 +269,40 @@ def test_best_checkpoint_pinned_and_loadable(tmp_path, dummy_ds):
     variables, config, step = load_for_inference(ckpt_dir, step="best")
     assert "params" in variables and step in (2, 4)
     assert config is not None
+
+
+def test_blowup_guard_rewinds_to_snapshot(tmp_path, dummy_ds):
+    """Non-finite losses trigger a rewind to the last finite snapshot and
+    training continues on a fresh trajectory (observed GAN failure mode:
+    finite losses one log interval, NaN the next)."""
+    cfg = tiny_config(tmp_path, max_steps=4, log_every=1, save_every=100)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    trainer.max_steps = 2
+    trainer.train()
+    assert trainer.step == 2
+    # poison the live params: every loss from here is NaN until the guard
+    # rewinds to the (finite) snapshot taken at init
+    trainer.state = trainer.state.replace(params=jax.tree_util.tree_map(
+        lambda x: x * np.nan, trainer.state.params))
+    trainer.max_steps = 4
+    last = trainer.train()
+    trainer.close()
+    assert trainer._blowups == 1
+    assert trainer.step == 4
+    assert np.isfinite(last["total_loss"])
+
+
+def test_blowup_guard_bounded_retries(tmp_path, dummy_ds):
+    """After training.max_loss_blowups rewinds the guard raises instead of
+    looping forever (the snapshot itself could be the problem)."""
+    cfg = tiny_config(tmp_path, max_steps=2, log_every=1, save_every=100,
+                      max_loss_blowups=0)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    nan_params = jax.tree_util.tree_map(lambda x: x * np.nan,
+                                        trainer.state.params)
+    trainer.state = trainer.state.replace(params=nan_params)
+    # poison the snapshot too: any rewind would re-enter the blow-up
+    trainer._oom_snapshot = (jax.device_get(trainer.state), 0)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer.train()
+    trainer.close()

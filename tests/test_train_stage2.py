@@ -286,3 +286,22 @@ def test_best_score_metric_mismatch_resets(tmp_path):
         json.dumps({"step": 1, "score": 0.25}))
     assert _read_best_score(ckpt_dir, float("inf"),
                             metric="quality_score") == 0.25
+
+
+def test_stage2_blowup_recovery_bounded(tmp_path, dummy_ds):
+    """_recover_after_blowup rewinds g/d states + step to the snapshot and
+    raises once training.max_loss_blowups is exhausted."""
+    import pytest
+
+    cfg = stage2_config(tmp_path, max_steps=1, max_loss_blowups=1)
+    from m2tts_tpu.training.trainer_stage2 import Stage2Trainer
+
+    trainer = Stage2Trainer(cfg, dataset=dummy_ds)
+    snap_g, snap_d = trainer._host_states_copy()
+    trainer._oom_snapshot = (snap_g, snap_d, 0)
+    trainer.step = 7
+    trainer._recover_after_blowup()
+    assert trainer.step == 0 and trainer._blowups == 1
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer._recover_after_blowup()
+    trainer.close()
