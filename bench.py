@@ -188,7 +188,8 @@ def main():
     rtf = min(rtf_runs)
 
     # ---- stage-1 training throughput (flagship model, batch 32) ----
-    train_steps_per_sec, train_mfu = _bench_training()
+    train_steps_per_sec, train_steps_per_sec_device, train_mfu = \
+        _bench_training()
 
     reference_target_audio_per_sec = 2.0  # RTF<0.5 target on M2
     result = {
@@ -218,6 +219,7 @@ def main():
         "params": count_parameters(params),
         "vocoder_backend": synth.vocoder_backend,
         "train_steps_per_sec": train_steps_per_sec,
+        "train_steps_per_sec_device": train_steps_per_sec_device,
         "train_mfu": train_mfu,
         "train_vs_reference_m2max": (round(train_steps_per_sec / 2.0, 1)
                                      if train_steps_per_sec else None),
@@ -330,8 +332,9 @@ def _chip_peak():
 
 def _bench_training(n_steps: int = 60):
     """Stage-1 steps/sec at flagship scale, batch 32 (reference projects
-    0.5-2 steps/sec on Apple M2, README.md:48-49). Data-free (DummyDataset)
-    so only device step time is measured. Returns None on failure rather
+    0.5-2 steps/sec on Apple M2, README.md:48-49). Data-free (DummyDataset),
+    HBM-resident batches. Returns (delivered steps/s, device-only steps/s
+    via a k-step lax.scan, train MFU) — None entries on failure rather
     than sinking the serving benchmark."""
     import time
 
@@ -358,9 +361,10 @@ def _bench_training(n_steps: int = 60):
         import jax
 
         def step(batch):
-            rng = jax.random.fold_in(trainer.base_rng, trainer.step)
+            # the trainer folds the dropout rng in-graph from state.step:
+            # one dispatch per step, same as the real training loop
             trainer.state, losses = trainer._train_step(trainer.state, batch,
-                                                        rng)
+                                                        trainer.base_rng)
             return losses
 
         losses = step(next(it))  # compile
@@ -373,26 +377,64 @@ def _bench_training(n_steps: int = 60):
             jax.block_until_ready(losses)
             best = max(best, n_steps / (time.perf_counter() - t0))
         assert all(np.isfinite(float(v)) for v in losses.values())
+
+        # Device-only step rate: K steps chained in ONE lax.scan dispatch,
+        # so per-step host/tunnel dispatch latency (which swings 3x with
+        # time of day on the tunneled chip) is amortized away. This is the
+        # chip's actual training speed; the loop number above is the
+        # delivered rate through this host.
+        device_best = None
+        try:
+            k_scan = 50
+
+            @jax.jit
+            def multi_step(state, batch, base_rng):
+                def body(s, _):
+                    r = jax.random.fold_in(base_rng, s.step)
+                    grad_fn = jax.value_and_grad(
+                        lambda p: trainer._loss_fn(p, batch, r, False),
+                        has_aux=True)
+                    (_, ls), grads = grad_fn(s.params)
+                    return s.apply_gradients(grads=grads), ls["total_loss"]
+
+                final, tl = jax.lax.scan(body, state, None, length=k_scan)
+                return final, tl[-1]
+
+            b0 = next(it)
+            st, tl = multi_step(trainer.state, b0, trainer.base_rng)
+            jax.block_until_ready(tl)  # compile
+            device_best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                st, tl = multi_step(st, b0, trainer.base_rng)
+                jax.block_until_ready(tl)
+                device_best = max(device_best,
+                                  k_scan / (time.perf_counter() - t0))
+            assert np.isfinite(float(tl))
+            device_best = round(device_best, 2)
+        except Exception as e:
+            print(f"device-only train bench skipped: {e}", file=sys.stderr)
         train_mfu = None
         try:
             # fwd+bwd+update FLOPs of the exact compiled train step (pure
-            # XLA graph, so the analytic cost model sees everything)
+            # XLA graph, so the analytic cost model sees everything);
+            # utilization is computed against the device-only rate when
+            # available (chip utilization, not tunnel weather)
             b0 = next(it)
-            rng = jax.random.fold_in(trainer.base_rng, trainer.step)
             ca = trainer._train_step.lower(
-                trainer.state, b0, rng).compile().cost_analysis()
+                trainer.state, b0, trainer.base_rng).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0))
             peak = _chip_peak()
             if flops > 0 and peak:
-                train_mfu = round(flops * best / peak, 5)
+                train_mfu = round(flops * (device_best or best) / peak, 5)
         except Exception as e:
             print(f"train mfu skipped: {e}", file=sys.stderr)
-        return round(best, 2), train_mfu
+        return round(best, 2), device_best, train_mfu
     except Exception as e:  # pragma: no cover - benchmark resilience
         print(f"training bench skipped: {e}", file=sys.stderr)
-        return None, None
+        return None, None, None
 
 
 if __name__ == "__main__":

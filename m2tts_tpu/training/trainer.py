@@ -279,11 +279,14 @@ class Stage1Trainer:
     def _recover_after_blowup(self) -> None:
         """Rewind to the last finite snapshot after non-finite losses.
 
-        The host data stream and dropout RNG are NOT rewound, so the
-        replayed window takes a fresh trajectory instead of replaying
-        deterministically into the same blow-up. Raises after
+        The host data stream is NOT rewound and ``base_rng`` is refolded
+        per recovery, so the replayed window sees different batches AND
+        different dropout noise — a fresh trajectory instead of a
+        deterministic replay into the same blow-up. Raises after
         ``training.max_loss_blowups`` recoveries."""
         self._blowups += 1
+        self.base_rng = jax.random.fold_in(self.base_rng,
+                                           0xB10 + self._blowups)
         snap_state, snap_step = self._oom_snapshot
         if self._blowups > self._blowup_limit:
             raise RuntimeError(
@@ -316,7 +319,14 @@ class Stage1Trainer:
         return losses["total_loss"], losses
 
     def _build_train_step(self):
-        def step_fn(state, batch, rng):
+        def step_fn(state, batch, base_rng):
+            # dropout rng folds from state.step INSIDE the graph: the
+            # whole train step is one host dispatch (the separate host
+            # fold_in was a second dispatch per step — measurable on a
+            # tunneled 1-CPU host). state.step tracks the loop step on
+            # every path (init, resume, OOM/blow-up rewind), so the
+            # stream is identical to a host-side fold.
+            rng = jax.random.fold_in(base_rng, state.step)
             grad_fn = jax.value_and_grad(
                 lambda p: self._loss_fn(p, batch, rng, False), has_aux=True)
             (_, losses), grads = grad_fn(state.params)
@@ -402,11 +412,10 @@ class Stage1Trainer:
                 if not self.thermal.check():
                     self.thermal.wait_for_cooldown()
                 batch = next(it)
-                rng = jax.random.fold_in(self.base_rng, self.step)
                 try:
                     with self.profiler.step(self.step):
                         self.state, losses = self._train_step(self.state, batch,
-                                                              rng)
+                                                              self.base_rng)
                         if (self.step + 1) % self.log_every == 0:
                             # log-step sync: an execution OOM surfaces at
                             # this conversion, so it stays in the guard

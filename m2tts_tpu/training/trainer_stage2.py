@@ -27,6 +27,7 @@ perceptual 0.5, adversarial 0.25, feature-matching 2.0; LSGAN for D.
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import time
@@ -214,6 +215,19 @@ class Stage2Trainer:
             lambda g_state, d_params, batch, rng: self._g_step_fn(
                 g_state, d_params, self._slice_batch(batch, rng), rng),
             donate_argnums=(0,))
+        # fused D+G step (the default-mode hot path): ONE dispatch and one
+        # XLA graph per GAN step instead of three host dispatches (rng
+        # fold + D + G). On a tunneled 1-CPU host each dispatch is serial
+        # host work; fusing also drops the second _slice_batch/_upcast.
+        # The rng folds from d_state.step INSIDE the graph (d_state
+        # updates every fused step, so it equals the loop step — and warm
+        # start/restore never desyncs it), reproducing the unfused stream.
+        self._gd_step = jax.jit(
+            functools.partial(self._gd_step_fn, cached=False),
+            donate_argnums=(0, 1))
+        self._gd_step_cached = jax.jit(
+            functools.partial(self._gd_step_fn, cached=True),
+            donate_argnums=(0, 1))
         self._host_rng = np.random.default_rng(self.seed + 2)
         self.base_rng = jax.random.PRNGKey(self.seed + 3)
         self.step = 0
@@ -254,13 +268,16 @@ class Stage2Trainer:
     def _recover_after_blowup(self) -> None:
         """Rewind to the last finite snapshot after non-finite losses.
 
-        The host data stream and dropout RNG are NOT rewound, so the
-        replayed window sees different batches/noise — a fresh trajectory
-        out of the blow-up rather than a deterministic replay into it.
-        Raises after ``training.max_loss_blowups`` recoveries: a model
-        that keeps exploding needs a config change (lower lr /
-        tighter clip), not silent infinite rewinds."""
+        The host data stream is NOT rewound and ``base_rng`` is refolded
+        per recovery, so the replayed window sees different batches AND
+        different dropout/segment noise — a fresh trajectory out of the
+        blow-up rather than a deterministic replay into it. Raises after
+        ``training.max_loss_blowups`` recoveries: a model that keeps
+        exploding needs a config change (lower lr / tighter clip), not
+        silent infinite rewinds."""
         self._blowups += 1
+        self.base_rng = jax.random.fold_in(self.base_rng,
+                                           0xB10 + self._blowups)
         g, d, snap_step = self._oom_snapshot
         if self._blowups > self._blowup_limit:
             raise RuntimeError(
@@ -359,6 +376,22 @@ class Stage2Trainer:
         (_, losses), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_state.params)
         return g_state.apply_gradients(grads=grads), losses
+
+    # -- fused D+G step ---------------------------------------------------------
+    def _gd_step_fn(self, g_state, d_state, batch, base_rng, cached=False):
+        """One fused GAN step: fold rng, (slice the HBM-cached batch,)
+        update D, then update G against the NEW discriminator — the same
+        ordering and rng stream as the separate ``_d_step``/``_g_step``
+        dispatches, in a single compiled graph. The segment window is
+        sliced once and shared (the unfused path recomputes it in each of
+        the two graphs)."""
+        rng = jax.random.fold_in(base_rng, d_state.step)
+        if cached:
+            batch = self._slice_batch(batch, rng)
+        new_d, d_metrics = self._d_step_fn(g_state.params, d_state, batch,
+                                           rng)
+        new_g, g_metrics = self._g_step_fn(g_state, new_d.params, batch, rng)
+        return new_g, new_d, {**d_metrics, **g_metrics}
 
     # -- device-cached data path ----------------------------------------------
     def _slice_batch(self, batch: Dict[str, jnp.ndarray], rng):
@@ -475,17 +508,24 @@ class Stage2Trainer:
         cached = "audio" in batch and isinstance(batch["audio"], jax.Array)
         if not cached and "audio_seg" not in batch:
             batch = self._prepare(batch)
+        if not self.alternate_gd:
+            # hot path: ONE dispatch for the whole D+G pair (rng folds
+            # in-graph from d_state.step, == self.step here)
+            fn = self._gd_step_cached if cached else self._gd_step
+            self.g_state, self.d_state, metrics = fn(
+                self.g_state, self.d_state, batch, self.base_rng)
+            self.step += 1
+            return metrics
+        # alternating mode (reference compat): separate dispatches
         d_fn = self._d_step_cached if cached else self._d_step
         g_fn = self._g_step_cached if cached else self._g_step
         rng = jax.random.fold_in(self.base_rng, self.step)
         metrics: Dict[str, Any] = {}
-        run_d = (not self.alternate_gd) or (self.step % 2 == 0)
-        run_g = (not self.alternate_gd) or (self.step % 2 == 1)
-        if run_d:
+        if self.step % 2 == 0:
             self.d_state, d_metrics = d_fn(
                 self.g_state.params, self.d_state, batch, rng)
             metrics.update(d_metrics)
-        if run_g:
+        else:
             self.g_state, g_metrics = g_fn(
                 self.g_state, self.d_state.params, batch, rng)
             metrics.update(g_metrics)

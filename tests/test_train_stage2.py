@@ -80,10 +80,10 @@ def test_stage2_oom_recovery(tmp_path, dummy_ds):
     finishes."""
     cfg = stage2_config(tmp_path, max_steps=2)
     trainer = Stage2Trainer(cfg, dataset=dummy_ds)
-    real_g = trainer._g_step
+    real_gd = trainer._gd_step
     calls = {"n": 0}
 
-    def flaky_g(g_state, d_params, batch, rng):
+    def flaky_gd(g_state, d_state, batch, rng):
         calls["n"] += 1
         if calls["n"] == 1:
             for leaf in jax.tree_util.tree_leaves(
@@ -92,13 +92,50 @@ def test_stage2_oom_recovery(tmp_path, dummy_ds):
                     leaf.delete()
             raise jax.errors.JaxRuntimeError(
                 "RESOURCE_EXHAUSTED: simulated OOM")
-        return real_g(g_state, d_params, batch, rng)
+        return real_gd(g_state, d_state, batch, rng)
 
-    trainer._g_step = flaky_g
+    trainer._gd_step = flaky_gd
     last = trainer.train()
     trainer.close()
     assert trainer.step == 2
     assert np.isfinite(last["total_loss"])
+
+
+def test_fused_gd_step_matches_unfused(tmp_path, dummy_ds):
+    """The fused single-dispatch GAN step (``_gd_step``) must reproduce the
+    separate ``_d_step``/``_g_step`` dispatch sequence exactly: same rng
+    fold (from d_state.step == loop step), D update first, G against the
+    NEW discriminator."""
+    from m2tts_tpu.data.dataset import data_iterator
+    from m2tts_tpu.parallel.partition import shard_tree
+
+    cfg = stage2_config(tmp_path, max_steps=1)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    it = data_iterator(dummy_ds, 8, tr.buckets, seed=0,
+                       audio_samples=tr._max_audio_samples())
+    batch = tr._prepare(next(it))
+    g0, d0 = tr._host_states_copy()  # every step path donates its inputs
+
+    # unfused reference sequence: host-side rng fold, D then G
+    rng = jax.random.fold_in(tr.base_rng, int(tr.d_state.step))
+    d1, dm = tr._d_step(tr.g_state.params, tr.d_state, batch, rng)
+    g1, gm = tr._g_step(tr.g_state, d1.params, batch, rng)
+    g1p, d1p = jax.device_get((g1.params, d1.params))
+
+    # rewind and run the fused step on identical states
+    tr.g_state = shard_tree(g0, tr.mesh)
+    tr.d_state = shard_tree(d0, tr.mesh)
+    g2, d2, metrics = tr._gd_step(tr.g_state, tr.d_state, batch, tr.base_rng)
+    g2p, d2p = jax.device_get((g2.params, d2.params))
+
+    for a, b in zip(jax.tree_util.tree_leaves(g1p),
+                    jax.tree_util.tree_leaves(g2p)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(d1p),
+                    jax.tree_util.tree_leaves(d2p)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+    assert set(metrics) == set(dm) | set(gm)
+    tr.close()
 
 
 def test_stage2_gradient_accumulation(tmp_path, dummy_ds):
