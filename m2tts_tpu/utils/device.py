@@ -40,20 +40,47 @@ def honor_platform_env() -> None:
             pass
 
 
+def _host_fingerprint() -> str:
+    """Short tag identifying this host's CPU feature set.
+
+    XLA:CPU cache entries are AOT-compiled for the *build* machine's CPU
+    features, and the persistent-cache key does NOT include them — an
+    entry written on one VM can SIGILL a process on a VM with a
+    different feature set (observed: cpu_aot_loader feature-mismatch
+    warnings after a host migration, then dead test runs). Scoping the
+    cache dir by a fingerprint of the flags line makes a foreign-host
+    cache invisible instead of fatal."""
+    import hashlib
+    import platform
+
+    src = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    src += line
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        src += platform.processor()
+    return hashlib.sha1(src.encode()).hexdigest()[:12]
+
+
 def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> None:
     """Point XLA's persistent compilation cache at a repo-local dir.
 
     Identical graphs recompile in every fresh process; over the tunneled
     TPU backend each compile costs 4-30 s per bucket (worse under
     congestion). With the cache, the resume leg / stage-2 / eval CLIs of
-    a training drive skip straight to cached executables. Safe no-op if
-    the config knob is unavailable. Called by every CLI and bench.py."""
+    a training drive skip straight to cached executables. The dir is
+    scoped per host-CPU fingerprint (see ``_host_fingerprint``). Safe
+    no-op if the config knob is unavailable. Called by every CLI and
+    bench.py."""
     try:
         if cache_dir is None:
             import pathlib
 
-            cache_dir = str(pathlib.Path(__file__).resolve()
-                            .parents[2] / ".jax_cache")
+            cache_dir = str(pathlib.Path(__file__).resolve().parents[2]
+                            / ".jax_cache" / _host_fingerprint())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - older jax / read-only fs
