@@ -121,6 +121,12 @@ def main():
     # 20-70 MB/s with time of day, and delivered-audio throughput above is
     # strictly link-bound at batch 64 (16.8 MB of int16 PCM per batch).
     def measure_device_only(s, windows=2, iters=ITERS):
+        # NOTHING is fetched inside the timed window: a per-iter
+        # np.asarray(total_frames) is a blocking ~30 ms tunnel round trip
+        # PER BATCH that used to triple the measured wall (15 -> 52 ms).
+        # Dispatch all iters back-to-back (what synthesize_stream does in
+        # production), block on the last output — executions on the single
+        # TPU stream are ordered — and fetch the frame counts afterwards.
         fn_dev = s._get_synth(FRAME_BUCKET, False)
         enc_ids, enc_lens = s._encode_batch(texts)
         packed_dev = s._put(s._pack(enc_ids, enc_lens))
@@ -129,13 +135,14 @@ def main():
         runs, walls = [], []
         for _ in range(windows):
             t0 = time.perf_counter()
-            audio_sec = 0.0
-            for _ in range(iters):
-                out = fn_dev(s.params, packed_dev, scale_dev)
-                frames = np.minimum(np.asarray(out["total_frames"]),
-                                    FRAME_BUCKET)  # blocks on compute only
-                audio_sec += float(frames.sum()) * s.upsample / SAMPLE_RATE
+            outs = [fn_dev(s.params, packed_dev, scale_dev)
+                    for _ in range(iters)]
+            jax.block_until_ready(outs[-1])
             dt = time.perf_counter() - t0
+            frames = np.minimum(
+                np.concatenate(jax.device_get(
+                    [o["total_frames"] for o in outs])), FRAME_BUCKET)
+            audio_sec = float(frames.sum()) * s.upsample / SAMPLE_RATE
             runs.append(audio_sec / dt)
             walls.append(dt / iters)
         return runs, min(walls)
