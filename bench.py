@@ -198,6 +198,9 @@ def main():
     train_steps_per_sec, train_steps_per_sec_device, train_mfu = \
         _bench_training()
 
+    # ---- stage-2 GAN throughput (fused D+G step, same scale) ----
+    train2_steps_per_sec, train2_mfu = _bench_training_stage2()
+
     reference_target_audio_per_sec = 2.0  # RTF<0.5 target on M2
     result = {
         "metric": "batched_synthesis_throughput",
@@ -228,6 +231,8 @@ def main():
         "train_steps_per_sec": train_steps_per_sec,
         "train_steps_per_sec_device": train_steps_per_sec_device,
         "train_mfu": train_mfu,
+        "train2_steps_per_sec": train2_steps_per_sec,
+        "train2_mfu": train2_mfu,
         "train_vs_reference_m2max": (round(train_steps_per_sec / 2.0, 1)
                                      if train_steps_per_sec else None),
         "device": str(jax.devices()[0]),
@@ -442,6 +447,67 @@ def _bench_training(n_steps: int = 60):
     except Exception as e:  # pragma: no cover - benchmark resilience
         print(f"training bench skipped: {e}", file=sys.stderr)
         return None, None, None
+
+
+def _bench_training_stage2(n_steps: int = 30):
+    """Stage-2 GAN steps/sec (fused single-dispatch D+G step) at flagship
+    scale, batch 32, (128,512) bucket, HBM-resident data. Returns
+    (steps/s, MFU of the fused graph) — Nones on failure rather than
+    sinking the benchmark."""
+    import time
+
+    import numpy as np
+
+    try:
+        import jax
+
+        from m2tts_tpu.data.dataset import DummyDataset
+        from m2tts_tpu.training.trainer_stage2 import Stage2Trainer
+        from m2tts_tpu.utils.config import load_config
+
+        cfg = load_config(Path(__file__).parent / "configs/flagship_tpu.yaml")
+        cfg.set("training.save_every", 10**9)
+        cfg.set("training.validate_every", 10**9)
+        cfg.set("training.device_data_cache", True)
+        cfg.set("data.buckets", [[128, 512]])
+        cfg.set("paths.output_dir", "/tmp/bench_train2_out")
+        cfg.set("paths.checkpoint_dir", "/tmp/bench_train2_out/ckpt")
+        cfg.set("paths.log_dir", "/tmp/bench_train2_out/logs")
+        n_mels = int(cfg.get("model.decoder.mel_channels", 80))
+        ds = DummyDataset(size=64, mel_dim=n_mels, max_text_length=96,
+                          max_mel_length=480, seed=0, keep_audio=True)
+        trainer = Stage2Trainer(cfg, dataset=ds)
+        it = trainer._device_cached_iterator()
+        if it is None:
+            raise RuntimeError("device cache unavailable")
+        m = trainer.train_step(next(it))  # compile
+        jax.block_until_ready(jax.tree_util.tree_leaves(m))
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                m = trainer.train_step(next(it))
+            jax.block_until_ready(jax.tree_util.tree_leaves(m))
+            best = max(best, n_steps / (time.perf_counter() - t0))
+        assert all(np.isfinite(float(v)) for v in m.values())
+        mfu = None
+        try:
+            b0 = next(it)
+            ca = trainer._gd_step_cached.lower(
+                trainer.g_state, trainer.d_state, b0,
+                trainer.base_rng).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            peak = _chip_peak()
+            if flops > 0 and peak:
+                mfu = round(flops * best / peak, 5)
+        except Exception as e:
+            print(f"train2 mfu skipped: {e}", file=sys.stderr)
+        return round(best, 2), mfu
+    except Exception as e:  # pragma: no cover - benchmark resilience
+        print(f"stage-2 training bench skipped: {e}", file=sys.stderr)
+        return None, None
 
 
 if __name__ == "__main__":

