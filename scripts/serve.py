@@ -16,9 +16,12 @@ surface is the one-shot scripts/synthesize.py CLI). Stdlib-only
         payload is a streaming WAV with unknown-length headers)
 
 Requests are funneled through a lock into the Synthesizer so concurrent
-clients share the same compiled graphs (batch them client-side via
-/synthesize_batch for throughput; the lock serializes device access,
-which is what a single chip wants anyway).
+clients share the same compiled graphs. With --dynamic-batch, concurrent
+/synthesize requests are additionally coalesced into one batched device
+dispatch (m2tts_tpu/serving/batcher.py: up to max-batch-bucket requests
+per --batch-wait-ms straggler window) — the chip synthesizes a 64-wide
+batch for barely more than one utterance, so coalescing multiplies
+multi-client throughput without clients having to batch themselves.
 
 Usage:
   python scripts/serve.py --checkpoint outputs/stage1/checkpoints --port 8080
@@ -60,8 +63,17 @@ def wav_stream_header(sample_rate: int) -> bytes:
             + b"data" + struct.pack("<I", unknown))
 
 
-def make_handler(synth, info, stream_chunk_frames: int = 64):
+def make_handler(synth, info, stream_chunk_frames: int = 64,
+                 dynamic_batch_wait_ms=None):
     lock = threading.Lock()
+    batcher = None
+    if dynamic_batch_wait_ms is not None:
+        # coalesce concurrent /synthesize requests into one batched
+        # dispatch (shares the device lock with the other routes)
+        from m2tts_tpu.serving.batcher import DynamicBatcher
+
+        batcher = DynamicBatcher(synth, lock=lock,
+                                 max_wait_ms=dynamic_batch_wait_ms)
     streamer = {}  # lazy singleton: built on the first /synthesize_stream
 
     def get_streamer():
@@ -120,11 +132,14 @@ def make_handler(synth, info, stream_chunk_frames: int = 64):
                     if not text or not isinstance(text, str):
                         self._json(400, {"error": "'text' (string) required"})
                         return
-                    with lock:
-                        n = len(synth.text_processor.text_to_phonemes(text))
-                        if n > synth.phoneme_budget() - 2:
+                    n = len(synth.text_processor.text_to_phonemes(text))
+                    if n > synth.phoneme_budget() - 2:
+                        with lock:  # needs chunking, not batching
                             r = synth.synthesize_long(text, scale)
-                        else:
+                    elif batcher is not None:
+                        r = batcher.submit(text, scale)
+                    else:
+                        with lock:
                             r = synth.synthesize_batch([text], scale)[0]
                     body = wav_bytes(r["audio_pcm"], synth.sample_rate)
                     self.send_response(200)
@@ -232,6 +247,12 @@ def main(argv=None):
                         "(requires N visible devices)")
     p.add_argument("--stream-chunk-frames", type=int, default=64,
                    help="mel frames per /synthesize_stream vocoder chunk")
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="coalesce concurrent /synthesize requests into one "
+                        "batched dispatch (straggler window: "
+                        "--batch-wait-ms)")
+    p.add_argument("--batch-wait-ms", type=float, default=10.0,
+                   help="straggler-collection window for --dynamic-batch")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warmup", action="store_true",
@@ -263,7 +284,9 @@ def main(argv=None):
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(synth, info,
-                     stream_chunk_frames=args.stream_chunk_frames))
+                     stream_chunk_frames=args.stream_chunk_frames,
+                     dynamic_batch_wait_ms=(args.batch_wait_ms
+                                            if args.dynamic_batch else None)))
     print(f"serving on http://{args.host}:{server.server_address[1]}  {info}",
           flush=True)
     try:
