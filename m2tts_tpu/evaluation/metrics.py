@@ -220,7 +220,16 @@ def aggregate_metrics(metric_dicts: Iterable[Dict[str, float]]
     if not metric_dicts:
         return {}
     out = {}
-    for key in metric_dicts[0]:
+    # union of keys, in first-seen order: per-sample dicts can be
+    # heterogeneous (e.g. 'stoi' is omitted for a sample whose ground
+    # truth is too short/silent), and the first sample must not decide
+    # which metrics the whole report carries
+    keys = []
+    for m in metric_dicts:
+        for key in m:
+            if key not in keys:
+                keys.append(key)
+    for key in keys:
         vals = [m[key] for m in metric_dicts if key in m]
         if vals:
             out[key] = float(np.mean(vals))

@@ -73,6 +73,9 @@ class DynamicBatcher:
         self.max_wait = float(max_wait_ms) / 1000.0
         self._q: "queue.SimpleQueue[Optional[_Pending]]" = queue.SimpleQueue()
         self._closed = False
+        # serializes the closed-check with the enqueue so no request can
+        # slip in behind the close sentinel and wait forever
+        self._submit_mu = threading.Lock()
         # introspection (tests + /healthz)
         self.requests_served = 0
         self.batches_run = 0
@@ -88,10 +91,11 @@ class DynamicBatcher:
         Caller is responsible for routing texts over the phoneme budget
         to ``synthesize_long`` instead (they need chunking, not
         batching)."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         p = _Pending(text, float(duration_scale))
-        self._q.put(p)
+        with self._submit_mu:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError(f"synthesis not ready within {timeout}s")
         if p.error is not None:
@@ -100,12 +104,14 @@ class DynamicBatcher:
         return p.result
 
     def close(self) -> None:
-        """Stop the worker; in-flight requests finish, queued ones after
-        the sentinel still drain (the worker exits only at the sentinel)."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)
+        """Stop the worker. Everything enqueued before the close still
+        drains (the worker exits only at the sentinel, and the submit
+        mutex guarantees nothing lands behind it)."""
+        with self._submit_mu:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=30)
 
     # -- worker side ----------------------------------------------------------

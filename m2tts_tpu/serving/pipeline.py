@@ -241,9 +241,9 @@ class Synthesizer:
 
     @staticmethod
     def _bf16_params(p):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, p)
+        from m2tts_tpu.utils.tree import cast_params_bf16
+
+        return cast_params_bf16(p)
 
     def _get_synth(self, max_frames: int, want_mel: bool):
         """Compiled synthesis graph. The fast path quantizes audio to int16

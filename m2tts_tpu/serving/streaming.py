@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from m2tts_tpu.models.tts_model import M2TTS
+from m2tts_tpu.utils.tree import cast_params_bf16
 
 # End-to-end receptive field of the vocoder in input (mel) frames:
 # input conv ±1, first tconv ±1, then ±(2/r1 + 1/r1 + 2/(r1 r2) + ...)
@@ -111,9 +112,7 @@ class StreamingVocoder:
             The variable center slice happens on the host (the last chunk's
             offset differs, and output shapes under jit must be static)."""
             if bf16:  # packed-weight (mm/pallas) kernels stay f32
-                params = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.bfloat16)
-                    if x.dtype == jnp.float32 else x, params)
+                params = cast_params_bf16(params)
                 mel_window = mel_window.astype(jnp.bfloat16)
             return vf(params, mel_window).astype(jnp.float32)
 
@@ -185,9 +184,7 @@ class StreamingSynthesizer:
 
         def acoustic(params, ids, lengths, scale):
             if bf16:  # match the batch Synthesizer's bf16 serving graph
-                params = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.bfloat16)
-                    if x.dtype == jnp.float32 else x, params)
+                params = cast_params_bf16(params)
             enc, mask = model.apply(params, ids, lengths, True,
                                     method=lambda m, i, l, d:
                                     m.text_encoder(i, l, d))

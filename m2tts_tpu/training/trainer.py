@@ -43,6 +43,7 @@ from m2tts_tpu.utils.config import Config
 from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor
 from m2tts_tpu.utils.metrics_logger import MetricsLogger
 from m2tts_tpu.utils.profiling import StepProfiler
+from m2tts_tpu.utils.tree import cast_params_bf16, tree_finite
 
 logger = logging.getLogger(__name__)
 
@@ -72,11 +73,14 @@ def _read_best_score(ckpt_dir, default: float, metric: str = "") -> float:
         try:
             data = json.loads(path.read_text())
             stored_metric = str(data.get("metric", ""))
-            if stored_metric and metric and stored_metric != metric:
+            # a missing 'metric' field (legacy score.json) counts as a
+            # mismatch too: a stored -MOS would otherwise permanently
+            # outrank any positive-scale gate score
+            if metric and stored_metric != metric:
                 logger.warning(
                     "best/score.json was produced by metric %r but this "
                     "run gates on %r — resetting the best score",
-                    stored_metric, metric)
+                    stored_metric or "<unrecorded>", metric)
                 return default
             return float(data["score"])
         except (ValueError, KeyError):
@@ -288,25 +292,25 @@ class Stage1Trainer:
         self.base_rng = jax.random.fold_in(self.base_rng,
                                            0xB10 + self._blowups)
         snap_state, snap_step = self._oom_snapshot
+        blown_step = self.step
+        # restore BEFORE the limit check: when the raise fires, train()'s
+        # finally-save must persist the last finite snapshot, not the
+        # exploded params
+        self.state = shard_tree(snap_state, self.mesh)
+        self.step = snap_step
         if self._blowups > self._blowup_limit:
             raise RuntimeError(
-                f"non-finite losses at step {self.step} — "
+                f"non-finite losses at step {blown_step} — "
                 f"{self._blowups - 1} rewinds already spent; lower the "
                 "learning rate or raise training.max_loss_blowups")
         logger.error(
             "Non-finite losses at step %d — rewinding to snapshot step %d "
-            "(blow-up %d/%d)", self.step, snap_step, self._blowups,
+            "(blow-up %d/%d)", blown_step, snap_step, self._blowups,
             self._blowup_limit)
-        self.state = shard_tree(snap_state, self.mesh)
-        self.step = snap_step
 
     # -- compiled steps ------------------------------------------------------
     def _loss_fn(self, params, batch, rng, deterministic):
-        p = params
-        if self.bf16:
-            p = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, p)
+        p = cast_params_bf16(params) if self.bf16 else params
         out = self.model.apply(
             {"params": p}, batch["phoneme_ids"], batch["text_lengths"],
             batch["durations"], max_frames=batch["mel"].shape[1],
@@ -484,6 +488,13 @@ class Stage1Trainer:
         if self.step == 0:
             return
         host_state = self._host_state_copy()
+        # a blow-up between log intervals must never poison the on-disk
+        # latest checkpoint or the rewind snapshot (save_every and
+        # log_every need not align, so detection can lag the save)
+        if not tree_finite(host_state.params):
+            logger.error("Refusing to checkpoint non-finite params at step "
+                         "%d (blow-up not yet detected)", self.step)
+            return
         self._oom_snapshot = (host_state, self.step)
         self.ckpt.save(self.step,
                        {"params": host_state.params,

@@ -54,6 +54,7 @@ from m2tts_tpu.utils.config import Config
 from m2tts_tpu.utils.device import MemoryTracker, ThermalMonitor
 from m2tts_tpu.utils.metrics_logger import MetricsLogger
 from m2tts_tpu.utils.profiling import StepProfiler
+from m2tts_tpu.utils.tree import cast_params_bf16, tree_finite
 
 logger = logging.getLogger(__name__)
 
@@ -279,26 +280,26 @@ class Stage2Trainer:
         self.base_rng = jax.random.fold_in(self.base_rng,
                                            0xB10 + self._blowups)
         g, d, snap_step = self._oom_snapshot
+        blown_step = self.step
+        # restore BEFORE the limit check: when the raise fires, train()'s
+        # finally-save must persist the last finite snapshot, not the
+        # exploded params
+        self.g_state = shard_tree(g, self.mesh)
+        self.d_state = shard_tree(d, self.mesh)
+        self.step = snap_step
         if self._blowups > self._blowup_limit:
             raise RuntimeError(
-                f"non-finite losses at step {self.step} — "
+                f"non-finite losses at step {blown_step} — "
                 f"{self._blowups - 1} rewinds already spent; lower the "
                 "learning rate or raise training.max_loss_blowups")
         logger.error(
             "Non-finite losses at step %d — rewinding to snapshot step %d "
-            "(blow-up %d/%d)", self.step, snap_step, self._blowups,
+            "(blow-up %d/%d)", blown_step, snap_step, self._blowups,
             self._blowup_limit)
-        self.g_state = shard_tree(g, self.mesh)
-        self.d_state = shard_tree(d, self.mesh)
-        self.step = snap_step
 
     # -- shared forward pieces -------------------------------------------------
     def _cast(self, params):
-        if not self.bf16:
-            return params
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            params)
+        return cast_params_bf16(params) if self.bf16 else params
 
     def _acoustic_and_segment(self, g_params, batch, rng, deterministic):
         """Run text→mel, slice the target window, vocode the segment."""
@@ -754,6 +755,13 @@ class Stage2Trainer:
         if self.step == 0:
             return
         g, d = self._host_states_copy()
+        # a blow-up between log intervals must never poison the on-disk
+        # latest checkpoint or the rewind snapshot (save_every and
+        # log_every need not align, so detection can lag the save)
+        if not tree_finite((g.params, d.params)):
+            logger.error("Refusing to checkpoint non-finite params at step "
+                         "%d (blow-up not yet detected)", self.step)
+            return
         self._oom_snapshot = (g, d, self.step)
         self.ckpt.save(self.step, {
             "generator": g.params, "g_opt_state": g.opt_state,

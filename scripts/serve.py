@@ -32,6 +32,7 @@ import argparse
 import base64
 import io
 import json
+import queue
 import sys
 import threading
 import wave
@@ -92,6 +93,11 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
         return streamer["ss"]
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer-encoding (the streaming route) is an HTTP/1.1
+        # construct; advertising it on an HTTP/1.0 status line makes
+        # version-honoring clients read the raw chunk framing as body
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -154,6 +160,27 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         return
                     import numpy as np
 
+                    # Chunks are produced on the device by a worker thread
+                    # (holding the device lock only while producing) and
+                    # written to the client from this thread: a slow or
+                    # stalled reader can never wedge the device lock —
+                    # the producer runs to completion at device speed and
+                    # releases it. A whole utterance of int16 PCM is small
+                    # (the batch route buffers the same), so the handoff
+                    # queue is unbounded.
+                    chunk_q = queue.SimpleQueue()
+
+                    def produce():
+                        try:
+                            with lock:
+                                for c in get_streamer().stream(text, scale):
+                                    chunk_q.put(("chunk", c))
+                            chunk_q.put(("done", None))
+                        except BaseException as e:
+                            chunk_q.put(("error", e))
+
+                    producer = threading.Thread(target=produce, daemon=True)
+                    producer.start()
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Transfer-Encoding", "chunked")
@@ -164,19 +191,28 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         self.wfile.write(b)
                         self.wfile.write(b"\r\n")
 
-                    write_chunk(wav_stream_header(synth.sample_rate))
-                    # the lock is held for the WHOLE stream: chunks are
-                    # produced lazily on the device as they are written.
                     # Headers are already sent, so a mid-stream error can
-                    # only terminate the chunked body — never _json(500).
+                    # only terminate the chunked body early — it must NOT
+                    # fall through to the outer _json(500), which would
+                    # append a second HTTP response to this connection.
                     try:
-                        with lock:
-                            for chunk in get_streamer().stream(text, scale):
-                                pcm = (np.clip(chunk, -1.0, 1.0)
+                        write_chunk(wav_stream_header(synth.sample_rate))
+                        while True:
+                            kind, payload = chunk_q.get()
+                            if kind == "chunk":
+                                pcm = (np.clip(payload, -1.0, 1.0)
                                        * 32767.0).astype(np.int16)
                                 write_chunk(pcm.tobytes())
-                    finally:
+                            elif kind == "error":
+                                print(f"stream synthesis failed: {payload!r}",
+                                      flush=True)
+                                break
+                            else:
+                                break
                         self.wfile.write(b"0\r\n\r\n")
+                    except OSError as e:  # client went away mid-stream
+                        print(f"stream client dropped: {e!r}", flush=True)
+                        self.close_connection = True
                     return
                 elif self.path == "/synthesize_batch":
                     texts = req.get("texts")

@@ -150,3 +150,33 @@ def test_evaluate_cli(tmp_path):
     assert rc == 0
     out = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
     assert "texts" in out and out["texts"][0]["estimated_mos"] >= 1.0
+
+
+def test_aggregate_metrics_union_of_keys():
+    """Per-sample dicts can be heterogeneous (e.g. 'stoi' omitted for a
+    near-silent ground truth); the first sample must not decide which
+    metrics the report carries."""
+    dicts = [{"mel_l1": 1.0},                  # first sample: no stoi
+             {"mel_l1": 3.0, "stoi": 0.8},
+             {"mel_l1": 2.0, "stoi": 0.6}]
+    out = M.aggregate_metrics(dicts)
+    assert out["mel_l1"] == pytest.approx(2.0)
+    assert out["stoi"] == pytest.approx(0.7)  # mean over present values only
+
+
+def test_tree_finite_and_bf16_cast():
+    import jax.numpy as jnp
+
+    from m2tts_tpu.utils.tree import cast_params_bf16, tree_finite
+
+    tree = {"w": np.ones((3, 3), np.float32), "ids": np.arange(4)}
+    assert tree_finite(tree)
+    tree["w"][1, 1] = np.nan
+    assert not tree_finite(tree)
+    # bf16 leaves (ml_dtypes kind 'V' on host) are checked too
+    bf = {"w": np.asarray(jnp.asarray([1.0, jnp.nan], jnp.bfloat16))}
+    assert not tree_finite(bf)
+    cast = cast_params_bf16({"w": np.ones(2, np.float32),
+                             "ids": np.arange(2)})
+    assert cast["w"].dtype == jnp.bfloat16
+    assert cast["ids"].dtype == np.arange(2).dtype

@@ -306,3 +306,40 @@ def test_blowup_guard_bounded_retries(tmp_path, dummy_ds):
     with pytest.raises(RuntimeError, match="non-finite"):
         trainer.train()
     trainer.close()
+
+
+def test_blowup_overlimit_restores_snapshot_before_raise(tmp_path, dummy_ds):
+    """When the rewind budget is exhausted, the guard restores the last
+    FINITE snapshot before raising, so the finally-save in train()
+    persists recoverable params instead of the exploded state."""
+    cfg = tiny_config(tmp_path, max_steps=2, log_every=1, save_every=100,
+                      max_loss_blowups=0)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    finite_snap = jax.device_get(trainer.state)
+    trainer._oom_snapshot = (finite_snap, 5)
+    trainer.state = trainer.state.replace(params=jax.tree_util.tree_map(
+        lambda x: x * np.nan, trainer.state.params))
+    trainer.step = 9
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer._recover_after_blowup()
+    assert trainer.step == 5
+    leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    trainer.close()
+
+
+def test_save_checkpoint_refuses_nonfinite_params(tmp_path, dummy_ds):
+    """An undetected blow-up between log intervals must not poison the
+    on-disk latest checkpoint or the rewind snapshot."""
+    cfg = tiny_config(tmp_path, max_steps=2, log_every=1, save_every=100)
+    trainer = Stage1Trainer(cfg, dataset=dummy_ds)
+    trainer.max_steps = 2
+    trainer.train()  # one good checkpoint at step 2 via the finally-save
+    good_snapshot_step = trainer._oom_snapshot[1]
+    trainer.state = trainer.state.replace(params=jax.tree_util.tree_map(
+        lambda x: x * np.nan, trainer.state.params))
+    trainer.step = 3
+    trainer.save_checkpoint()  # must refuse
+    assert trainer._oom_snapshot[1] == good_snapshot_step
+    assert trainer.ckpt.latest_step() != 3
+    trainer.close()

@@ -317,12 +317,14 @@ def test_best_score_metric_mismatch_resets(tmp_path):
     # different metric: reset to the default
     assert _read_best_score(ckpt_dir, float("inf"),
                             metric="quality_score") == float("inf")
-    # legacy file without a metric field: accepted (back-compat)
+    # legacy file without a metric field counts as a mismatch too: a
+    # stored -MOS would otherwise permanently outrank any positive-scale
+    # gate score (exactly the bug the metric tag was added to fix)
     import json
     (ckpt_dir / "best" / "score.json").write_text(
-        json.dumps({"step": 1, "score": 0.25}))
+        json.dumps({"step": 1, "score": -3.5}))
     assert _read_best_score(ckpt_dir, float("inf"),
-                            metric="quality_score") == 0.25
+                            metric="quality_score") == float("inf")
 
 
 def test_stage2_blowup_recovery_bounded(tmp_path, dummy_ds):
