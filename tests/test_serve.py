@@ -160,3 +160,66 @@ def test_synthesize_stream_chunked_wav(server_url, serve_synth):
     assert abs(len(bp) - len(pcm)) <= 2 * 16  # chunk-boundary trim slack
     assert np.max(np.abs(pcm[:n].astype(np.int32)
                          - bp[:n].astype(np.int32))) <= 2
+
+
+def test_stream_is_http11(server_url):
+    """Chunked transfer-encoding requires an HTTP/1.1 status line;
+    version-honoring clients would otherwise read the raw chunk framing
+    as body bytes."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(server_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=120)
+    conn.request("POST", "/synthesize_stream",
+                 body=json.dumps({"text": "version check"}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.version == 11
+    assert resp.headers.get("Transfer-Encoding") == "chunked"
+    body = resp.read()
+    assert body[:4] == b"RIFF"
+    conn.close()
+
+
+def test_stream_midstream_error_terminates_body(serve_synth, monkeypatch):
+    """A synthesis failure after headers are sent must terminate the
+    chunked body early — NOT append a second HTTP response (JSON 500)
+    to the same connection — and the server must stay serviceable."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.serve import make_handler
+
+    from m2tts_tpu.serving import streaming as streaming_mod
+
+    def boom_stream(self, text, duration_scale=1.0):
+        yield __import__("numpy").zeros(64, "float32")
+        raise RuntimeError("simulated mid-stream device failure")
+
+    monkeypatch.setattr(streaming_mod.StreamingSynthesizer, "stream",
+                        boom_stream)
+    info = {"device": "test", "backend": jax.default_backend(),
+            "vocoder_backend": serve_synth.vocoder_backend,
+            "sample_rate": 22050}
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(serve_synth, info, stream_chunk_frames=16))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, ctype, body = _post(url + "/synthesize_stream",
+                                    {"text": "will fail mid-stream"})
+        # one clean (truncated) chunked WAV: header + first chunk, no
+        # trailing second response after the terminator
+        assert status == 200 and ctype == "audio/wav"
+        assert body[:4] == b"RIFF"
+        assert b"HTTP/" not in body and b"error" not in body
+        # the worker thread died with its request; the server still serves
+        status2, _, body2 = _post(url + "/synthesize",
+                                  {"text": "still alive"})
+        assert status2 == 200 and body2[:4] == b"RIFF"
+    finally:
+        server.shutdown()
