@@ -44,6 +44,45 @@ EVAL_TEXTS = [
 ]
 
 
+def _bench_concurrent(synth, texts, scale, n_req=16):
+    """Speedup of coalescing n_req concurrent requests into one batched
+    dispatch (serving/batcher.py) over serializing them one dispatch
+    each. Returns wall(serialized)/wall(coalesced), best of 2 rounds."""
+    import threading
+
+    from m2tts_tpu.serving.batcher import DynamicBatcher
+
+    def timed(fn):
+        ts = [threading.Thread(target=fn, args=(i,)) for i in range(n_req)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        if any(t.is_alive() for t in ts):
+            raise TimeoutError("concurrent request thread wedged")
+        return time.perf_counter() - t0
+
+    lock = threading.Lock()
+
+    def serialized(i):
+        with lock:
+            synth.synthesize_batch([texts[i]], scale)
+
+    best = None
+    for _ in range(2):
+        wall_serial = timed(serialized)
+        batcher = DynamicBatcher(synth, max_wait_ms=10.0)
+        try:
+            wall_coalesced = timed(
+                lambda i: batcher.submit(texts[i], scale, timeout=120))
+        finally:
+            batcher.close()
+        ratio = wall_serial / max(wall_coalesced, 1e-9)
+        best = ratio if best is None else max(best, ratio)
+    return round(best, 1)
+
+
 def main():
     import jax
 
@@ -194,6 +233,18 @@ def main():
             break
     rtf = min(rtf_runs)
 
+    # ---- concurrent serving: dynamic batcher coalescing gain ----
+    # 16 concurrent single-utterance requests, serialized one-dispatch-
+    # per-request vs coalesced through serving/batcher.py (what serve.py
+    # --dynamic-batch does). Both graphs (bucket 1 and bucket 64) are
+    # already compiled by the phases above. Hard per-request timeouts so
+    # a wedged thread can never hang the bench.
+    concurrent_speedup = None
+    try:
+        concurrent_speedup = _bench_concurrent(synth, texts[:16], scale)
+    except Exception as e:  # never let the extra metric kill the bench
+        print(f"concurrent bench failed: {e!r}", file=sys.stderr)
+
     # ---- stage-1 training throughput (flagship model, batch 32) ----
     train_steps_per_sec, train_steps_per_sec_device, train_mfu = \
         _bench_training()
@@ -225,6 +276,7 @@ def main():
         "mfu_delivered": mfu_delivered,
         "mfu_device": mfu_device,
         "first_chunk_latency_ms": first_chunk_ms,
+        "concurrent_batching_speedup_16req": concurrent_speedup,
         "graph_tflops_per_batch": graph_tflops,
         "params": count_parameters(params),
         "vocoder_backend": synth.vocoder_backend,
