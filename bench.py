@@ -313,7 +313,7 @@ def _mfu_estimate(synth, batch, text_bucket, frame_bucket, scale,
     peak = _chip_peak()
     try:
         count_synth = synth
-        if synth.vocoder_backend == "pallas":
+        if synth.vocoder_backend in ("pallas", "pallas_packed"):
             # XLA's analytic cost model reports ZERO FLOPs for custom
             # (Mosaic) calls, which would drop the vocoder — the dominant
             # FLOPs consumer — from the count. The mm formulation is the

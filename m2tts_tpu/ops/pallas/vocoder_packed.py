@@ -66,6 +66,23 @@ from m2tts_tpu.ops.pallas.vocoder import (
 )
 
 
+def pick_tile(T: int, U: int, halo: int = DEFAULT_HALO):
+    """Largest tile (frames) valid for a [*, T, *] mel under this kernel's
+    TPU constraints, or None when no candidate fits (caller falls back to
+    another backend). Bigger tiles amortize the 2*halo recompute overhead:
+    measured 13.6 -> 9.7 ms going 16 -> 128 at 256 ch (docs/DESIGN.md §2).
+    """
+    for tile in (128, 64, 32, 16):
+        win = tile + 2 * halo
+        if (T % tile == 0 and T >= win and halo <= tile
+                and (tile * U) % (8 * LANE) == 0
+                and (halo * U) % LANE == 0
+                and (win * U) % LANE == 0
+                and win % 8 == 0):
+            return tile
+    return None
+
+
 def _choose_f(n_phases: int, cout: int) -> Tuple[int, int]:
     """Packing for a stage with ``n_phases`` producible phases and ``cout``
     channels: the largest F dividing both n_phases and 128 with room for

@@ -50,9 +50,12 @@ class Synthesizer:
                  extra_lexicon=None, vocoder_backend: str = "xla",
                  mesh=None, compute_dtype: str = "auto"):
         """``vocoder_backend``: 'xla' (the Flax module as-is), 'mm' (dense
-        matmul reformulation, plain XLA), or 'pallas' (fused VMEM-resident
-        kernel; TPU only). All three are numerically equivalent — see
-        tests/test_vocoder_mm.py and tests/test_pallas_vocoder.py.
+        matmul reformulation, plain XLA), 'pallas' (fused VMEM-resident
+        kernel), or 'pallas_packed' (fused kernel with the phase-packed
+        lane layout — the fastest measured on TPU, what 'auto' resolves to
+        there). All are numerically equivalent — see tests/
+        test_vocoder_mm.py, test_pallas_vocoder.py,
+        test_pallas_vocoder_packed.py and test_vocoder_backends.py.
 
         ``compute_dtype``: 'bf16' casts params (and hence all compute) to
         bfloat16 INSIDE the compiled synthesis graph — the MXU's native
@@ -106,26 +109,32 @@ class Synthesizer:
             raise ValueError(f"Unknown compute_dtype {compute_dtype!r}")
         self.compute_dtype = compute_dtype
 
-        if vocoder_backend not in ("xla", "mm", "pallas", "auto"):
+        if vocoder_backend not in ("xla", "mm", "pallas", "pallas_packed",
+                                   "auto"):
             raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
         if vocoder_backend == "auto":
-            # Measured on 1x v5e (r3 shootout, batch 64 x 512 frames):
-            # XLA 17.2 ms f32 / 13.7 ms bf16 vs fused Pallas 50.2 ms at
-            # 256ch; 31.7 / 21.6 vs 52.3 at 512ch. XLA f32 sits at the
-            # HBM roofline and bf16 goes under it; the kernel is lane-
-            # padding-bound (docs/DESIGN.md §2 has the full argument) —
-            # so 'auto' means 'xla'. The pallas/mm backends remain
-            # selectable and equivalence-tested.
-            vocoder_backend = "xla"
-        if vocoder_backend == "pallas" and jax.default_backend() == "tpu" \
+            # Measured on 1x v5e (scripts/bench_vocoder.py, batch 64 x 512
+            # frames, device-only wall): phase-packed fused kernel 9.7 ms
+            # vs XLA bf16 16.1 ms at 256 ch (1.66x), 20.6 vs 26.2 ms at
+            # 512 ch (1.27x) — the packed lane layout removed the padding
+            # bound that made the original kernel lose (docs/DESIGN.md
+            # §2). So 'auto' = 'pallas_packed' on a TPU whose Mosaic
+            # compile path works, 'xla' elsewhere; shapes the kernel's
+            # tiling cannot serve fall back to the XLA module per bucket
+            # (see _vf below).
+            vocoder_backend = ("pallas_packed"
+                               if jax.default_backend() == "tpu"
+                               and self._pallas_available() else "xla")
+        if vocoder_backend in ("pallas", "pallas_packed") \
+                and jax.default_backend() == "tpu" \
                 and not self._pallas_available():
             # fail fast with a clear message instead of a cryptic Mosaic
             # error on the first request (some tunneled setups proxy
             # compilation through a helper that can't build custom kernels)
             raise RuntimeError(
-                "vocoder_backend='pallas' requested but Mosaic kernel "
-                "compilation is unavailable on this TPU backend; use "
-                "'xla' (fastest measured) or 'mm'")
+                f"vocoder_backend={vocoder_backend!r} requested but Mosaic "
+                "kernel compilation is unavailable on this TPU backend; "
+                "use 'xla' or 'mm'")
         self.vocoder_backend = vocoder_backend
         # _vocoder_fn(params, mel) packs the weights INSIDE the traced
         # graph so they reach the kernel as arguments; a closure over
@@ -142,6 +151,30 @@ class Synthesizer:
                     packed = pack_vocoder_weights(p["params"]["vocoder"],
                                                   rates)
                     return vocoder_mm_forward(mel, packed)
+            elif vocoder_backend == "pallas_packed":
+                from m2tts_tpu.models.tts_model import Vocoder
+                from m2tts_tpu.ops.pallas.vocoder_packed import (
+                    fused_vocoder_packed_forward, pick_tile)
+
+                interpret = jax.default_backend() != "tpu"
+                cdt = self.compute_dtype
+                U = self.upsample
+                voc = Vocoder(model.mel_channels, model.vocoder_channels,
+                              3, tuple(rates))
+
+                def _vf(p, mel):
+                    tile = pick_tile(mel.shape[1], U)
+                    if tile is None:
+                        # bucket shape the kernel's tiling can't serve —
+                        # per-bucket fallback to the XLA module (shapes are
+                        # static under jit, so this is a trace-time branch)
+                        return voc.apply(
+                            {"params": p["params"]["vocoder"]}, mel)[..., 0]
+                    packed = pack_vocoder_weights(p["params"]["vocoder"],
+                                                  rates)
+                    return fused_vocoder_packed_forward(
+                        mel, packed, rates, tile=tile, interpret=interpret,
+                        compute_dtype=cdt)
             else:
                 from m2tts_tpu.ops.pallas.vocoder import (
                     fused_vocoder_forward)

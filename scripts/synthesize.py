@@ -46,7 +46,7 @@ def main(argv=None):
     p.add_argument("--griffin-lim", action="store_true",
                    help="invert mel with Griffin-Lim instead of the vocoder")
     p.add_argument("--vocoder-backend", type=str, default="auto",
-                   choices=("auto", "xla", "mm", "pallas"),
+                   choices=("auto", "xla", "mm", "pallas", "pallas_packed"),
                    help="vocoder implementation (auto resolves to the "
                         "fastest measured backend)")
     p.add_argument("--compute-dtype", type=str, default="auto",

@@ -43,6 +43,30 @@ def test_pallas_backend_matches_xla_interpret(model_and_params):
     np.testing.assert_allclose(ref["audio"], pal["audio"], atol=3e-4)
 
 
+def test_pallas_packed_backend_matches_xla_interpret(model_and_params):
+    """Phase-packed kernel backend (interpret mode off-TPU) must match the
+    XLA module, including the per-bucket tile pick."""
+    model, params = model_and_params
+    ref = _synth(model, params, "xla").synthesize("hello world")
+    pal = _synth(model, params, "pallas_packed").synthesize("hello world")
+    assert ref["frames"] == pal["frames"]
+    np.testing.assert_allclose(ref["audio"], pal["audio"], atol=3e-4)
+
+
+def test_pallas_packed_tile_fallback(model_and_params):
+    """A frame bucket no kernel tile divides falls back to the XLA module
+    inside the same backend (trace-time branch), still exact."""
+    model, params = model_and_params
+    ref = Synthesizer(model, params, text_buckets=(32,), frame_buckets=(40,),
+                      batch_buckets=(1,), vocoder_backend="xla")
+    pal = Synthesizer(model, params, text_buckets=(32,), frame_buckets=(40,),
+                      batch_buckets=(1,), vocoder_backend="pallas_packed")
+    r = ref.synthesize("hello world")
+    p = pal.synthesize("hello world")
+    assert r["frames"] == p["frames"]
+    np.testing.assert_allclose(r["audio"], p["audio"], atol=3e-4)
+
+
 def test_unknown_backend_rejected(model_and_params):
     model, params = model_and_params
     with pytest.raises(ValueError):
