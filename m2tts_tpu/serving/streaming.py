@@ -42,11 +42,13 @@ class StreamingVocoder:
                  halo_frames: int = DEFAULT_HALO_FRAMES,
                  vocoder_backend: str = "xla",
                  compute_dtype: str = "f32"):
-        """``vocoder_backend``: same three implementations as the batch
-        Synthesizer ('xla' | 'mm' | 'pallas'), all numerically identical —
-        the streaming and batch paths literally share the kernels
-        (BASELINE.json: "batched and streaming vocoder paths share the
-        same kernels").
+        """``vocoder_backend``: same implementations as the batch
+        Synthesizer ('xla' | 'mm' | 'pallas' | 'pallas_packed'), all
+        numerically identical — the streaming and batch paths literally
+        share the kernels (BASELINE.json: "batched and streaming vocoder
+        paths share the same kernels"). The packed kernel falls back to
+        the XLA module per window shape its tiling cannot serve (the
+        short-utterance path sees arbitrary lengths).
 
         ``compute_dtype``: 'bf16' casts params inside the compiled chunk
         (matching the batch Synthesizer's bf16 serving graph); 'auto' =
@@ -66,8 +68,8 @@ class StreamingVocoder:
         for r in model.upsample_rates:
             self.upsample *= r
 
-        if vocoder_backend == "pallas":
-            # the fused kernel tiles time in 16-frame blocks; widen the
+        if vocoder_backend in ("pallas", "pallas_packed"):
+            # the fused kernels tile time in 16-frame blocks; widen the
             # halo until the window is tile-aligned (extra halo is pure
             # overcompute, never a semantics change)
             from m2tts_tpu.ops.pallas.vocoder import DEFAULT_TILE
@@ -77,10 +79,31 @@ class StreamingVocoder:
         window = self.halo + chunk_frames + self.halo
         self.vocoder_backend = vocoder_backend
 
+        def xla_vf(p, mel):
+            return model.apply(p, mel,
+                               method=lambda m, x: m.vocoder(x))[..., 0]
+
         if vocoder_backend == "xla":
+            vf = xla_vf
+        elif vocoder_backend == "pallas_packed":
+            from m2tts_tpu.ops.pallas.vocoder_packed import (
+                fused_vocoder_packed_forward, pick_tile)
+
+            rates = model.upsample_rates
+            interpret = jax.default_backend() != "tpu"
+            cdt = self.compute_dtype
+            U = self.upsample
+
             def vf(p, mel):
-                return model.apply(p, mel,
-                                   method=lambda m, x: m.vocoder(x))[..., 0]
+                from m2tts_tpu.ops.vocoder_mm import pack_vocoder_weights
+
+                tile = pick_tile(mel.shape[1], U)
+                if tile is None:  # trace-time branch: shapes are static
+                    return xla_vf(p, mel)
+                packed = pack_vocoder_weights(p["params"]["vocoder"], rates)
+                return fused_vocoder_packed_forward(
+                    mel, packed, rates, tile=tile, interpret=interpret,
+                    compute_dtype=cdt)
         elif vocoder_backend in ("mm", "pallas"):
             from m2tts_tpu.ops.vocoder_mm import (pack_vocoder_weights,
                                                   vocoder_mm_forward)

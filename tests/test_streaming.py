@@ -81,9 +81,9 @@ def test_streaming_synthesizer_end_to_end(model_and_params):
     np.testing.assert_allclose(audio[:-tail], res["audio"][:-tail], atol=2e-4)
 
 
-@pytest.mark.parametrize("backend", ["mm", "pallas"])
+@pytest.mark.parametrize("backend", ["mm", "pallas", "pallas_packed"])
 def test_streaming_backends_equal_xla(model_and_params, rng, backend):
-    """All three vocoder backends must stream identical audio."""
+    """All vocoder backends must stream identical audio."""
     model, params = model_and_params
     mel = rng.normal(size=(100, 16)).astype(np.float32)
     ref = StreamingVocoder(model, params, chunk_frames=32).synthesize(mel)
