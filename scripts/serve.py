@@ -22,6 +22,10 @@ dispatch (m2tts_tpu/serving/batcher.py: up to max-batch-bucket requests
 per --batch-wait-ms straggler window) — the chip synthesizes a 64-wide
 batch for barely more than one utterance, so coalescing multiplies
 multi-client throughput without clients having to batch themselves.
+--dynamic-batch also routes /synthesize_stream through a StreamBatcher
+(m2tts_tpu/serving/stream_batcher.py): concurrent streams share batched
+acoustic and per-chunk vocoder dispatches, so concurrent streaming
+capacity scales with the batch bucket instead of dividing by it.
 
 Usage:
   python scripts/serve.py --checkpoint outputs/stage1/checkpoints --port 8080
@@ -65,7 +69,7 @@ def wav_stream_header(sample_rate: int) -> bytes:
 
 
 def make_handler(synth, info, stream_chunk_frames: int = 64,
-                 dynamic_batch_wait_ms=None):
+                 dynamic_batch_wait_ms=None, warmup_streams=False):
     lock = threading.Lock()
     batcher = None
     if dynamic_batch_wait_ms is not None:
@@ -75,7 +79,7 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
 
         batcher = DynamicBatcher(synth, lock=lock,
                                  max_wait_ms=dynamic_batch_wait_ms)
-    streamer = {}  # lazy singleton: built on the first /synthesize_stream
+    streamer = {}  # lazy singletons: built on the first /synthesize_stream
 
     def get_streamer():
         if "ss" not in streamer:
@@ -91,6 +95,24 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                 vocoder_backend=synth.vocoder_backend,
                 compute_dtype=synth.compute_dtype)
         return streamer["ss"]
+
+    def get_stream_batcher():
+        # concurrent streams share batched acoustic + chunk dispatches
+        # (m2tts_tpu/serving/stream_batcher.py); built only under
+        # --dynamic-batch, mirroring the /synthesize batcher
+        if "sb" not in streamer:
+            from m2tts_tpu.serving.stream_batcher import StreamBatcher
+
+            streamer["sb"] = StreamBatcher(
+                get_streamer(), lock=lock,
+                max_wait_ms=dynamic_batch_wait_ms)
+        return streamer["sb"]
+
+    if warmup_streams and dynamic_batch_wait_ms is not None:
+        # cold arrival interleavings otherwise pay one compile per new
+        # batch bucket mid-request
+        n = get_stream_batcher().warmup()
+        print(f"warmed {n} streaming graphs", flush=True)
 
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer-encoding (the streaming route) is an HTTP/1.1
@@ -160,24 +182,39 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         return
                     import numpy as np
 
-                    # Chunks are produced on the device by a worker thread
-                    # (holding the device lock only while producing) and
-                    # written to the client from this thread: a slow or
-                    # stalled reader can never wedge the device lock —
-                    # the producer runs to completion at device speed and
-                    # releases it. A whole utterance of int16 PCM is small
-                    # (the batch route buffers the same), so the handoff
-                    # queue is unbounded.
+                    # Chunks are produced on the device decoupled from the
+                    # client write loop, so a slow or stalled reader can
+                    # never wedge the device lock. Without --dynamic-batch
+                    # a worker thread produces the whole utterance at
+                    # device speed into an unbounded queue (a whole
+                    # utterance of int16 PCM is small — the batch route
+                    # buffers the same). With --dynamic-batch, the
+                    # StreamBatcher's scheduler is that producer, shared
+                    # across concurrent streams.
                     chunk_q = queue.SimpleQueue()
 
-                    def produce():
-                        try:
-                            with lock:
-                                for c in get_streamer().stream(text, scale):
+                    if batcher is not None:
+                        # raises before headers are sent on admission
+                        # failure, falling to the outer _json(500)
+                        sb_iter = get_stream_batcher().stream(text, scale)
+
+                        def produce():
+                            try:
+                                for c in sb_iter:
                                     chunk_q.put(("chunk", c))
-                            chunk_q.put(("done", None))
-                        except BaseException as e:
-                            chunk_q.put(("error", e))
+                                chunk_q.put(("done", None))
+                            except BaseException as e:
+                                chunk_q.put(("error", e))
+                    else:
+                        def produce():
+                            try:
+                                with lock:
+                                    for c in get_streamer().stream(text,
+                                                                   scale):
+                                        chunk_q.put(("chunk", c))
+                                chunk_q.put(("done", None))
+                            except BaseException as e:
+                                chunk_q.put(("error", e))
 
                     producer = threading.Thread(target=produce, daemon=True)
                     producer.start()
@@ -322,7 +359,8 @@ def main(argv=None):
         make_handler(synth, info,
                      stream_chunk_frames=args.stream_chunk_frames,
                      dynamic_batch_wait_ms=(args.batch_wait_ms
-                                            if args.dynamic_batch else None)))
+                                            if args.dynamic_batch else None),
+                     warmup_streams=args.warmup or args.warmup_all))
     print(f"serving on http://{args.host}:{server.server_address[1]}  {info}",
           flush=True)
     try:
