@@ -39,6 +39,58 @@ def _bucket_for(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def split_text_to_budget(text: str, text_processor, budget: int) -> List[str]:
+    """Split ``text`` into chunks of at most ``budget`` phonemes.
+
+    Sentence-boundary first ([.!?;:]), greedy merge up to the budget; a
+    single over-budget sentence falls back to comma, then word splits.
+    Shared by the batch (`Synthesizer.split_text` / `synthesize_long`)
+    and streaming (`StreamingSynthesizer.stream`, `StreamBatcher`)
+    long-form paths so both produce identical chunking."""
+    import re
+
+    n_phon = lambda t: len(text_processor.text_to_phonemes(t))
+
+    def split_units(t: str, pattern: str) -> List[str]:
+        parts = re.split(pattern, t)
+        units, cur = [], ""
+        for i in range(0, len(parts), 2):
+            seg = parts[i] + (parts[i + 1] if i + 1 < len(parts) else "")
+            if not seg.strip():
+                continue
+            cand = (cur + " " + seg).strip() if cur else seg.strip()
+            if cur and n_phon(cand) > budget:
+                units.append(cur)
+                cur = seg.strip()
+            else:
+                cur = cand
+        if cur:
+            units.append(cur)
+        return units
+
+    out: List[str] = []
+    for sent_chunk in split_units(text, r"([.!?;:]+\s*)"):
+        if n_phon(sent_chunk) <= budget:
+            out.append(sent_chunk)
+            continue
+        for comma_chunk in split_units(sent_chunk, r"(,\s*)"):
+            if n_phon(comma_chunk) <= budget:
+                out.append(comma_chunk)
+                continue
+            # last resort: greedy word packing
+            words, cur = comma_chunk.split(), ""
+            for w in words:
+                cand = (cur + " " + w).strip()
+                if cur and n_phon(cand) > budget:
+                    out.append(cur)
+                    cur = w
+                else:
+                    cur = cand
+            if cur:
+                out.append(cur)
+    return out or [text]
+
+
 class Synthesizer:
     """Compiled text→waveform engine over one model + params."""
 
@@ -447,49 +499,8 @@ class Synthesizer:
         the frontend (frontend/text.py pads/clips to max_length) — the
         reference has the same cliff (reference src/utils/text.py:341).
         """
-        import re
-
-        budget = self.phoneme_budget() - 2  # room for the SIL wrap
-        n_phon = lambda t: len(self.text_processor.text_to_phonemes(t))
-
-        def split_units(t: str, pattern: str) -> List[str]:
-            parts = re.split(pattern, t)
-            units, cur = [], ""
-            for i in range(0, len(parts), 2):
-                seg = parts[i] + (parts[i + 1] if i + 1 < len(parts) else "")
-                if not seg.strip():
-                    continue
-                cand = (cur + " " + seg).strip() if cur else seg.strip()
-                if cur and n_phon(cand) > budget:
-                    units.append(cur)
-                    cur = seg.strip()
-                else:
-                    cur = cand
-            if cur:
-                units.append(cur)
-            return units
-
-        out: List[str] = []
-        for sent_chunk in split_units(text, r"([.!?;:]+\s*)"):
-            if n_phon(sent_chunk) <= budget:
-                out.append(sent_chunk)
-                continue
-            for comma_chunk in split_units(sent_chunk, r"(,\s*)"):
-                if n_phon(comma_chunk) <= budget:
-                    out.append(comma_chunk)
-                    continue
-                # last resort: greedy word packing
-                words, cur = comma_chunk.split(), ""
-                for w in words:
-                    cand = (cur + " " + w).strip()
-                    if cur and n_phon(cand) > budget:
-                        out.append(cur)
-                        cur = w
-                    else:
-                        cur = cand
-                if cur:
-                    out.append(cur)
-        return out or [text]
+        return split_text_to_budget(text, self.text_processor,
+                                    self.phoneme_budget() - 2)
 
     def synthesize_long(self, text: str, duration_scale: float = 1.0,
                         gap_ms: float = 120.0) -> Dict[str, np.ndarray]:

@@ -126,7 +126,9 @@ class StreamBatcher:
         self._wake = threading.Event()       # scheduler: work arrived
         self._idle = threading.Event()       # close(): scheduler drained
         self._idle.set()
-        # introspection (tests + /healthz)
+        # introspection (tests + /healthz); streams_served counts
+        # admitted utterance chunks (long-form texts admit one per
+        # sentence chunk)
         self.streams_served = 0
         self.chunk_dispatches = 0
         self.chunks_emitted = 0
@@ -139,25 +141,47 @@ class StreamBatcher:
 
     # -- client side ----------------------------------------------------------
     def stream(self, text: str, duration_scale: float = 1.0,
-               timeout: Optional[float] = None) -> Iterator[np.ndarray]:
+               timeout: Optional[float] = None, gap_ms: float = 120.0
+               ) -> Iterator[np.ndarray]:
         """Admit ``text`` (blocks until its acoustic pass ran, coalesced
         with concurrent arrivals) and return the chunk iterator; safe
-        from many threads. ``timeout`` bounds each wait."""
+        from many threads. ``timeout`` bounds each wait.
+
+        Texts of ANY length: over-budget texts are sentence-split (same
+        splitter as the batch long-form path) and every sentence admits
+        at once — they all synthesize concurrently in the shared batched
+        dispatches while the consumer yields them in order, with
+        ``gap_ms`` of join silence."""
         st = self.streamer
-        enc = st.text_processor.batch([text], st.text_bucket)
-        p = _PendingAdmit(np.asarray(enc["phoneme_ids"][0]),
-                          int(enc["lengths"][0]), float(duration_scale))
+        pendings = []
+        for chunk in st.split_long(text):
+            enc = st.text_processor.batch([chunk], st.text_bucket)
+            pendings.append(_PendingAdmit(np.asarray(enc["phoneme_ids"][0]),
+                                          int(enc["lengths"][0]),
+                                          float(duration_scale)))
         with self._submit_mu:
             if self._closed:
                 raise RuntimeError("stream batcher is closed")
-            self._admit_q.put(p)
-        if not p.event.wait(timeout):
-            raise TimeoutError(f"acoustic pass not ready within {timeout}s")
-        if p.error is not None:
-            raise p.error
-        if p.active is None:
-            return self._stream_short(p.mel, p.frames)
-        return self._consume(p.active, timeout)
+            for p in pendings:
+                self._admit_q.put(p)
+        for p in pendings:
+            if not p.event.wait(timeout):
+                raise TimeoutError(
+                    f"acoustic pass not ready within {timeout}s")
+            if p.error is not None:
+                raise p.error
+        return self._consume_all(pendings, timeout, gap_ms)
+
+    def _consume_all(self, pendings: List[_PendingAdmit],
+                     timeout: Optional[float], gap_ms: float
+                     ) -> Iterator[np.ndarray]:
+        for i, p in enumerate(pendings):
+            if i:
+                yield self.streamer.gap(gap_ms)
+            if p.active is None:
+                yield from self._stream_short(p.mel, p.frames)
+            else:
+                yield from self._consume(p.active, timeout)
 
     def _stream_short(self, mel: np.ndarray, frames: int
                       ) -> Iterator[np.ndarray]:

@@ -191,13 +191,15 @@ class StreamingSynthesizer:
                  max_frames: int = 1000, text_bucket: int = 128,
                  halo_frames: int = DEFAULT_HALO_FRAMES,
                  vocoder_backend: str = "xla",
-                 compute_dtype: str = "f32"):
+                 compute_dtype: str = "f32",
+                 sample_rate: int = 22050):
         from m2tts_tpu.frontend.text import TextProcessor
 
         self.model = model
         self.params = params
         self.max_frames = max_frames
         self.text_bucket = text_bucket
+        self.sample_rate = sample_rate  # for gap sizing in long-form only
         self.text_processor = TextProcessor()
         self.vocoder = StreamingVocoder(model, params, chunk_frames,
                                         halo_frames,
@@ -231,8 +233,36 @@ class StreamingSynthesizer:
 
         self._acoustic = jax.jit(acoustic)
 
-    def stream(self, text: str, duration_scale: float = 1.0
-               ) -> Iterator[np.ndarray]:
+    def split_long(self, text: str) -> list:
+        """Over-budget texts sentence-split to the phoneme budget (same
+        splitter as Synthesizer.synthesize_long); under-budget texts pass
+        through whole. The frontend would otherwise silently truncate at
+        ``text_bucket`` (frontend/text.py pads/clips to max_length)."""
+        budget = self.text_bucket - 2  # room for the SIL wrap
+        if len(self.text_processor.text_to_phonemes(text)) <= budget:
+            return [text]
+        from m2tts_tpu.serving.pipeline import split_text_to_budget
+
+        return split_text_to_budget(text, self.text_processor, budget)
+
+    def gap(self, gap_ms: float) -> np.ndarray:
+        """Join silence between long-form sentence chunks (mirrors
+        synthesize_long's gap policy)."""
+        return np.zeros(int(self.sample_rate * gap_ms / 1000.0), np.float32)
+
+    def stream(self, text: str, duration_scale: float = 1.0,
+               gap_ms: float = 120.0) -> Iterator[np.ndarray]:
+        """Yield waveform chunks for ``text`` of ANY length: over-budget
+        texts are sentence-split and stream in sequence with ``gap_ms``
+        of silence at joins — first-chunk latency stays one sentence
+        regardless of total length."""
+        for i, chunk in enumerate(self.split_long(text)):
+            if i:
+                yield self.gap(gap_ms)
+            yield from self._stream_one(chunk, duration_scale)
+
+    def _stream_one(self, text: str, duration_scale: float
+                    ) -> Iterator[np.ndarray]:
         enc = self.text_processor.batch([text], self.text_bucket)
         mel, total = self._acoustic(
             self.params, jnp.asarray(enc["phoneme_ids"]),

@@ -13,7 +13,9 @@ surface is the one-shot scripts/synthesize.py CLI). Stdlib-only
   POST /synthesize_stream  → audio/wav, Transfer-Encoding: chunked —
         body: {"text": str, ...}       first audio chunk is sent as soon
         as the chunked vocoder produces it (low-latency path; the
-        payload is a streaming WAV with unknown-length headers)
+        payload is a streaming WAV with unknown-length headers). Texts
+        of any length: over-budget texts sentence-split and stream in
+        sequence, so first-chunk latency stays one sentence.
 
 Requests are funneled through a lock into the Synthesizer so concurrent
 clients share the same compiled graphs. With --dynamic-batch, concurrent
@@ -93,7 +95,8 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                 max_frames=max(synth.frame_buckets),
                 text_bucket=max(synth.text_buckets),
                 vocoder_backend=synth.vocoder_backend,
-                compute_dtype=synth.compute_dtype)
+                compute_dtype=synth.compute_dtype,
+                sample_rate=synth.sample_rate)
         return streamer["ss"]
 
     def get_stream_batcher():

@@ -92,7 +92,8 @@ def main(argv=None):
 
         ss = StreamingSynthesizer(synth.model, synth.params,
                                   vocoder_backend=synth.vocoder_backend,
-                                  compute_dtype=synth.compute_dtype)
+                                  compute_dtype=synth.compute_dtype,
+                                  sample_rate=synth.sample_rate)
         t0 = time.perf_counter()
         chunks = []
         first_ms = None

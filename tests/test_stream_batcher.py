@@ -80,7 +80,10 @@ def test_dispatches_are_shared(streamer):
     batcher = StreamBatcher(streamer, max_streams=8, max_wait_ms=300)
     try:
         run_concurrent(batcher, [(t, 8.0) for t in TEXTS])
-        assert batcher.streams_served == len(TEXTS)
+        # streams_served counts admitted utterance chunks (over-budget
+        # texts sentence-split into several)
+        expected = sum(len(streamer.split_long(t)) for t in TEXTS)
+        assert batcher.streams_served == expected
         # with every admission coalesced, at least one chunk dispatch must
         # have carried more than one stream's window
         assert 0 < batcher.chunk_dispatches < batcher.chunks_emitted
@@ -107,6 +110,23 @@ def test_mixed_duration_scales(streamer):
     for (text, scale), audio in zip(jobs, got):
         np.testing.assert_allclose(audio, solo(streamer, text, scale),
                                    atol=3e-5)
+
+
+def test_long_text_through_batcher(streamer):
+    """Over-budget texts admit one stream per sentence chunk; the
+    consumer yields them in order with join gaps, matching the solo
+    long-form stream."""
+    long_text = ("hello world again and again. " * 4).strip()
+    assert len(streamer.split_long(long_text)) > 1
+    batcher = StreamBatcher(streamer, max_streams=4, max_wait_ms=50)
+    try:
+        audio = np.concatenate(list(batcher.stream(long_text, 8.0,
+                                                   timeout=120)))
+    finally:
+        batcher.close()
+    expected = np.concatenate(list(streamer.stream(long_text, 8.0)))
+    assert audio.shape == expected.shape
+    np.testing.assert_allclose(audio, expected, atol=3e-5)
 
 
 def test_warmup_compiles_buckets(streamer):

@@ -81,6 +81,27 @@ def test_streaming_synthesizer_end_to_end(model_and_params):
     np.testing.assert_allclose(audio[:-tail], res["audio"][:-tail], atol=2e-4)
 
 
+def test_streaming_long_text_sentence_split(model_and_params):
+    """Over-budget texts sentence-split and stream in sequence with join
+    gaps (the frontend would otherwise silently truncate at the
+    bucket)."""
+    model, params = model_and_params
+    ss = StreamingSynthesizer(model, params, chunk_frames=16, max_frames=64,
+                              text_bucket=16, sample_rate=1000)
+    long_text = "one two three. four five six. seven eight nine."
+    chunks = ss.split_long(long_text)
+    assert len(chunks) > 1
+    audio = np.concatenate(list(ss.stream(long_text, 4.0)))
+    expected = []
+    for i, c in enumerate(chunks):
+        if i:
+            expected.append(ss.gap(120.0))
+        expected.append(np.concatenate(list(ss.stream(c, 4.0))))
+    expected = np.concatenate(expected)
+    assert audio.shape == expected.shape
+    np.testing.assert_allclose(audio, expected, atol=2e-6)
+
+
 @pytest.mark.parametrize("backend", ["mm", "pallas", "pallas_packed"])
 def test_streaming_backends_equal_xla(model_and_params, rng, backend):
     """All vocoder backends must stream identical audio."""
