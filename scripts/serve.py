@@ -142,7 +142,16 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", **info})
+                stats = {}
+                if batcher is not None:
+                    stats["batched_requests_served"] = batcher.requests_served
+                    stats["batches_run"] = batcher.batches_run
+                if "sb" in streamer:
+                    sb = streamer["sb"]
+                    stats["streams_served"] = sb.streams_served
+                    stats["stream_chunk_dispatches"] = sb.chunk_dispatches
+                    stats["stream_chunks_emitted"] = sb.chunks_emitted
+                self._json(200, {"status": "ok", **info, **stats})
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
