@@ -70,8 +70,8 @@ def _bench_concurrent(synth, texts, scale, n_req=16):
             synth.synthesize_batch([texts[i]], scale)
 
     best = None
-    for _ in range(2):
-        wall_serial = timed(serialized)
+    for _ in range(3):  # tunnel round trips inside both walls swing with
+        wall_serial = timed(serialized)   # congestion; best-of-3 damps it
         batcher = DynamicBatcher(synth, max_wait_ms=10.0)
         try:
             wall_coalesced = timed(
