@@ -150,6 +150,44 @@ def test_closed_batcher_rejects(streamer):
     batcher.close()  # idempotent
 
 
+def test_churn_staggered_arrivals(streamer):
+    """Stress: more streams than the dispatch cap, staggered arrivals,
+    mixed lengths and scales — every stream still matches its solo
+    output and the batcher drains clean."""
+    import time
+
+    jobs = [(TEXTS[i % len(TEXTS)], 4.0 + (i % 3) * 2.0) for i in range(10)]
+    batcher = StreamBatcher(streamer, max_streams=4, max_wait_ms=20)
+    results = [None] * len(jobs)
+    errors = []
+
+    def worker(i, text, scale):
+        try:
+            time.sleep(0.015 * i)  # staggered, overlapping arrivals
+            results[i] = np.concatenate(
+                list(batcher.stream(text, scale, timeout=120)))
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i, t, s))
+               for i, (t, s) in enumerate(jobs)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert all(r is not None for r in results)
+    finally:
+        batcher.close()
+    for (text, scale), audio in zip(jobs, results):
+        ref = solo(streamer, text, scale)
+        assert audio.shape == ref.shape
+        np.testing.assert_allclose(audio, ref, atol=3e-5)
+    # the scheduler must have drained everything
+    assert len(batcher._active) == 0
+
+
 def test_serve_stream_route_uses_batcher(model_and_params):
     """serve.py --dynamic-batch: concurrent /synthesize_stream POSTs all
     succeed through the shared StreamBatcher and match the solo path."""
