@@ -125,6 +125,10 @@ def export_synthesizer(synth, out_dir: Union[str, Path],
         "frame_buckets": list(xla.frame_buckets),
         "batch_buckets": sorted({g["batch"] for g in graphs}),
         "params_file": "params.npz",
+        # the artifact must pronounce exactly like the synthesizer it was
+        # exported from: custom lexicon entries travel in the manifest
+        "extra_lexicon": {k: list(v)
+                          for k, v in synth.extra_lexicon.items()},
         "graphs": graphs,
         "probes": probes,
     }
@@ -153,7 +157,8 @@ class ExportedSynthesizer:
         self.text_buckets = tuple(self.manifest["text_buckets"])
         self.frame_buckets = tuple(self.manifest["frame_buckets"])
         self.batch_buckets = tuple(self.manifest["batch_buckets"])
-        self.text_processor = TextProcessor()
+        self.text_processor = TextProcessor(
+            extra_lexicon=self.manifest.get("extra_lexicon") or None)
         self._graphs = {(g["batch"], g["text"], g["frames"]): g["file"]
                         for g in self.manifest["graphs"]}
         self._probes = {(p["batch"], p["text"]): p["file"]
@@ -169,43 +174,30 @@ class ExportedSynthesizer:
         return self._loaded[file].call(self.params, packed,
                                        np.float32(scale))
 
-    @staticmethod
-    def _bucket_for(value: int, buckets: Sequence[int]) -> int:
-        for b in buckets:
-            if value <= b:
-                return b
-        return buckets[-1]
-
-    def _encode(self, texts: List[str]) -> np.ndarray:
-        n = len(texts)
-        batch_n = self._bucket_for(n, self.batch_buckets)
-        if n > batch_n:
-            raise ValueError(f"{n} texts exceed the largest exported "
-                             f"batch bucket {max(self.batch_buckets)}")
-        max_ph = max(len(self.text_processor.text_to_phonemes(t))
-                     for t in texts)
-        t_bucket = self._bucket_for(max_ph, self.text_buckets)
-        enc = self.text_processor.batch(texts, t_bucket)
-        sil = self.text_processor.phonemes_to_ids(["SIL"])[0]
-        packed = np.full((batch_n, t_bucket + 1), sil, np.int32)
-        packed[:n, :-1] = enc["phoneme_ids"]
-        packed[:, -1] = 0
-        packed[:n, -1] = enc["lengths"]
-        return packed
-
     def synthesize_batch(self, texts: List[str],
                          duration_scale: float = 1.0
                          ) -> List[Dict[str, np.ndarray]]:
-        packed = self._encode(texts)
+        # the SAME host-side encoding/bucketing the graphs were traced
+        # against — shared code, so the convention cannot desynchronize
+        from m2tts_tpu.serving.pipeline import (_bucket_for,
+                                                encode_packed_batch)
+
+        packed = encode_packed_batch(self.text_processor, texts,
+                                     self.batch_buckets, self.text_buckets)
         b, t = packed.shape[0], packed.shape[1] - 1
         totals = np.asarray(self._call(self._probes[(b, t)], packed,
                                        duration_scale))
-        frames = self._bucket_for(int(totals[: len(texts)].max()),
-                                  self.frame_buckets)
+        frames = _bucket_for(int(totals[: len(texts)].max()),
+                             self.frame_buckets)
         out = self._call(self._graphs[(b, t, frames)], packed,
                          duration_scale)
-        pcm = np.asarray(out["pcm"])
-        tf = np.asarray(out["total_frames"])
+        # ONE blocking fetch for the whole output dict (a standalone
+        # transfer costs ~30 ms on tunneled hosts; mirrors
+        # pipeline._collect)
+        import jax
+
+        host = jax.device_get(out)
+        pcm, tf = host["pcm"], host["total_frames"]
         results = []
         for i in range(len(texts)):
             n_frames = int(min(tf[i], frames))

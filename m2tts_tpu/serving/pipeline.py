@@ -39,6 +39,33 @@ def _bucket_for(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def encode_packed_batch(text_processor, texts: List[str],
+                        batch_buckets: Sequence[int],
+                        text_buckets: Sequence[int]) -> np.ndarray:
+    """Texts → the packed [B, T+1] int32 host→device layout every serving
+    graph takes: SIL-padded phoneme-id rows with the lengths in the last
+    column (one transfer instead of two — a standalone transfer costs
+    ~30 ms on tunneled hosts). Pad rows are all-SIL with length 0.
+    Shared by the live Synthesizer and exported artifacts
+    (serving/export.py) so the packing convention can never
+    desynchronize from the graphs traced against it."""
+    n = len(texts)
+    batch_n = _bucket_for(n, batch_buckets)
+    if n > batch_n:
+        raise ValueError(f"{n} texts exceed the largest batch bucket "
+                         f"{max(batch_buckets)}; split the request")
+    max_phonemes = max(len(text_processor.text_to_phonemes(t))
+                       for t in texts)
+    t_bucket = _bucket_for(max_phonemes, text_buckets)
+    enc = text_processor.batch(texts, t_bucket)
+    sil = text_processor.phonemes_to_ids(["SIL"])[0]
+    packed = np.full((batch_n, t_bucket + 1), sil, np.int32)
+    packed[:n, :-1] = enc["phoneme_ids"]
+    packed[:, -1] = 0
+    packed[:n, -1] = enc["lengths"]
+    return packed
+
+
 def split_text_to_budget(text: str, text_processor, budget: int) -> List[str]:
     """Split ``text`` into chunks of at most ``budget`` phonemes.
 
@@ -149,6 +176,9 @@ class Synthesizer:
         self.batch_buckets = tuple(batch_buckets)
         self.sample_rate = sample_rate
         self.hop_length = hop_length
+        # kept as data (not just inside the G2P) so exported artifacts
+        # can record it in their manifest (serving/export.py)
+        self.extra_lexicon = dict(extra_lexicon or {})
         self.text_processor = TextProcessor(extra_lexicon=extra_lexicon)
         self.upsample = 1
         for r in model.upsample_rates:
@@ -388,23 +418,9 @@ class Synthesizer:
                                 self._scale_arr(duration_scale)))
 
     def _encode_batch(self, texts: List[str]):
-        n = len(texts)
-        batch_n = _bucket_for(n, self.batch_buckets)
-        if n > batch_n:
-            raise ValueError(
-                f"{n} texts exceed the largest batch bucket "
-                f"{max(self.batch_buckets)}; split the request")
-        max_phonemes = max(len(self.text_processor.text_to_phonemes(t))
-                           for t in texts)
-        text_bucket = _bucket_for(max_phonemes, self.text_buckets)
-        enc = self.text_processor.batch(texts, text_bucket)
-        ids = np.full((batch_n, text_bucket),
-                      self.text_processor.phonemes_to_ids(["SIL"])[0],
-                      np.int32)
-        ids[:n] = enc["phoneme_ids"]
-        lengths = np.zeros((batch_n,), np.int32)
-        lengths[:n] = enc["lengths"]
-        return ids, lengths
+        packed = encode_packed_batch(self.text_processor, texts,
+                                     self.batch_buckets, self.text_buckets)
+        return packed[:, :-1], packed[:, -1]
 
     def _launch(self, texts: List[str], duration_scale: float,
                 max_frames: Optional[int], want_mel: bool):

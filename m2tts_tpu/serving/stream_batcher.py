@@ -189,7 +189,8 @@ class StreamBatcher:
         # dispatch; batching padded mels would change edge behavior)
         with self.lock:
             chunks = list(self._sv.stream(mel, frames))
-        self.streams_served += 1
+        with self._mu:  # consumer threads race on the counter
+            self.streams_served += 1
         yield from chunks
 
     def _consume(self, s: _Active, timeout: Optional[float]
@@ -202,7 +203,8 @@ class StreamBatcher:
             if kind == "chunk":
                 yield payload
             elif kind == "done":
-                self.streams_served += 1
+                with self._mu:  # consumer threads race on the counter
+                    self.streams_served += 1
                 return
             else:
                 raise payload
@@ -218,10 +220,13 @@ class StreamBatcher:
         sv = self._sv
         C = sv.model.mel_channels
         n = 0
+        # exactly the buckets the dispatcher can select — including the
+        # cap itself when max_streams is not a power of two (e.g. cap 6:
+        # buckets 1, 2, 4, 6)
+        reachable = sorted({_bucket(k, self.max_streams)
+                            for k in range(1, self.max_streams + 1)})
         with self.lock:
-            for b in _BUCKETS:
-                if b > self.max_streams:
-                    break
+            for b in reachable:
                 ids = np.zeros((b, st.text_bucket), np.int32)
                 lengths = np.ones((b,), np.int32)
                 st._acoustic(st.params, jnp.asarray(ids),
@@ -235,18 +240,22 @@ class StreamBatcher:
 
     def close(self) -> None:
         """Stop both workers. Admissions enqueued before the close still
-        resolve, and already-admitted streams drain to completion."""
+        resolve, and already-admitted streams drain to completion.
+        (The scheduler refuses to exit while the admitter is alive, so a
+        close racing a slow admission — e.g. a cold acoustic compile —
+        can never strand that admission's consumers.)"""
         with self._submit_mu:
             if self._closed:
                 return
             self._closed = True
             self._admit_q.put(None)
-        self._admitter.join(timeout=30)
-        # every admitted stream is in _active by now (activation happens
-        # in the admit worker); wait for the scheduler to drain them
-        self._idle.wait(timeout=30)
+        # no timeout: admissions always terminate (device calls return
+        # or raise), and every admitted stream must be in _active before
+        # the drain wait below can be trusted
+        self._admitter.join()
+        self._idle.wait(timeout=600)
         self._wake.set()
-        self._scheduler.join(timeout=30)
+        self._scheduler.join(timeout=60)
 
     # -- admission worker -----------------------------------------------------
     def _admit_loop(self) -> None:
@@ -288,11 +297,16 @@ class StreamBatcher:
                 lengths = np.array([p.length for p in group]
                                    + [group[-1].length] * (B - len(group)),
                                    np.int32)
+                import jax
+
                 with self.lock:
-                    mel, total = st._acoustic(
+                    out = st._acoustic(
                         st.params, jnp.asarray(ids), jnp.asarray(lengths),
                         jnp.asarray(scale, jnp.float32))
-                    mel, total = np.asarray(mel), np.asarray(total)
+                    # ONE blocking fetch for both outputs (a standalone
+                    # transfer costs ~30 ms on tunneled hosts — straight
+                    # off every stream's first-chunk latency)
+                    mel, total = jax.device_get(out)
                 for i, p in enumerate(group):
                     p.frames = int(min(int(total[i]), st.max_frames))
                     p.mel = mel[i]
@@ -323,7 +337,8 @@ class StreamBatcher:
                 if not group:
                     self._idle.set()
             if not group:
-                if self._closed:
+                # exit only when no admission can still activate a stream
+                if self._closed and not self._admitter.is_alive():
                     return
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()

@@ -140,6 +140,12 @@ class StreamingVocoder:
             return vf(params, mel_window).astype(jnp.float32)
 
         self._run_chunk = jax.jit(run_chunk)
+        # short-utterance path: one JITTED full-graph call (compiled per
+        # length, cached). An eager apply here would dispatch op-by-op —
+        # ~30 ms per dispatch on tunneled hosts — and the StreamBatcher
+        # runs this path while holding the shared device lock.
+        self._full = jax.jit(lambda p, mel: model.apply(
+            p, mel, method=lambda m, x: m.vocoder(x))[..., 0])
         self._window = window
 
     def stream(self, mel: np.ndarray, total_frames: Optional[int] = None
@@ -159,11 +165,10 @@ class StreamingVocoder:
         U = self.upsample
         W = self._window
         if T <= W:
-            # short utterance: one exact full-graph call (tiny compile,
-            # cached per length)
-            audio = np.asarray(self.model.apply(
-                self.params, jnp.asarray(mel[None]),
-                method=lambda m, x: m.vocoder(x)))[0, :, 0]
+            # short utterance: one exact jitted full-graph call (tiny
+            # compile, cached per length)
+            audio = np.asarray(self._full(self.params,
+                                          jnp.asarray(mel[None])))[0]
             yield audio
             return
         n_chunks = -(-T // self.chunk_frames)

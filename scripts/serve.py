@@ -82,8 +82,15 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
         batcher = DynamicBatcher(synth, lock=lock,
                                  max_wait_ms=dynamic_batch_wait_ms)
     streamer = {}  # lazy singletons: built on the first /synthesize_stream
+    # two concurrent first requests must not each build one (multi-second
+    # compiles, and the loser's worker threads would leak)
+    streamer_mu = threading.Lock()
 
     def get_streamer():
+        with streamer_mu:
+            return _get_streamer_locked()
+
+    def _get_streamer_locked():
         if "ss" not in streamer:
             import numpy as np  # noqa: F401 (handler-scope import)
 
@@ -103,13 +110,14 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
         # concurrent streams share batched acoustic + chunk dispatches
         # (m2tts_tpu/serving/stream_batcher.py); built only under
         # --dynamic-batch, mirroring the /synthesize batcher
-        if "sb" not in streamer:
-            from m2tts_tpu.serving.stream_batcher import StreamBatcher
+        with streamer_mu:
+            if "sb" not in streamer:
+                from m2tts_tpu.serving.stream_batcher import StreamBatcher
 
-            streamer["sb"] = StreamBatcher(
-                get_streamer(), lock=lock,
-                max_wait_ms=dynamic_batch_wait_ms)
-        return streamer["sb"]
+                streamer["sb"] = StreamBatcher(
+                    _get_streamer_locked(), lock=lock,
+                    max_wait_ms=dynamic_batch_wait_ms)
+            return streamer["sb"]
 
     if warmup_streams and dynamic_batch_wait_ms is not None:
         # cold arrival interleavings otherwise pay one compile per new

@@ -79,6 +79,26 @@ def test_single_stream_export_is_small(synth, tmp_path):
     assert {g["batch"] for g in manifest["graphs"]} == {1}
 
 
+def test_lexicon_travels_in_manifest(tmp_path):
+    """Custom lexicon entries must pronounce identically from the
+    artifact (review finding: the loader used a bare TextProcessor)."""
+    model = M2TTS(hidden_dim=32, mel_channels=16, vocoder_channels=32,
+                  text_encoder_layers=1, decoder_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    lex = {"zyzzyva": ["Z", "IH", "Z", "IH", "V", "AH"]}
+    s = Synthesizer(model, params, text_buckets=(16,), frame_buckets=(32,),
+                    batch_buckets=(1,), extra_lexicon=lex)
+    manifest = export_synthesizer(s, tmp_path)
+    assert manifest["extra_lexicon"] == lex
+    ex = ExportedSynthesizer(tmp_path)
+    assert (ex.text_processor.text_to_phonemes("zyzzyva")
+            == s.text_processor.text_to_phonemes("zyzzyva"))
+    live = s.synthesize("zyzzyva")
+    back = ex.synthesize("zyzzyva")
+    np.testing.assert_array_equal(live["audio_pcm"], back["audio_pcm"])
+
+
 def test_cli_export(synth, tmp_path, monkeypatch):
     import sys
     from pathlib import Path

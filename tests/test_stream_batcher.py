@@ -129,6 +129,16 @@ def test_long_text_through_batcher(streamer):
     np.testing.assert_allclose(audio, expected, atol=3e-5)
 
 
+def test_warmup_covers_non_power_of_two_cap(streamer):
+    """Review finding: the cap itself is a reachable dispatch bucket when
+    it is not a power of two — warmup must compile it."""
+    batcher = StreamBatcher(streamer, max_streams=6)
+    try:
+        assert batcher.warmup() == 2 * 4  # buckets 1, 2, 4, 6
+    finally:
+        batcher.close()
+
+
 def test_warmup_compiles_buckets(streamer):
     batcher = StreamBatcher(streamer, max_streams=4)
     try:
