@@ -518,6 +518,42 @@ class Synthesizer:
         return split_text_to_budget(text, self.text_processor,
                                     self.phoneme_budget() - 2)
 
+    def swap_params(self, new_params) -> None:
+        """Zero-downtime weight rollout: atomically replace the serving
+        params with a structurally identical tree.
+
+        The compiled graphs take params as an ARGUMENT (never baked
+        constants), so NO recompilation happens — the next dispatch runs
+        the new weights through the same executables. Structure, shapes
+        and dtypes must match exactly; a different architecture needs a
+        new Synthesizer, not a swap. Under a mesh, the new tree gets the
+        same TP/replication sharding as the original. (The reference has
+        no serving layer at all; this serves BASELINE.md's production
+        north star — rolling checkpoint updates without dropping
+        requests.)"""
+        old_leaves, old_tree = jax.tree_util.tree_flatten(self.params)
+        new_leaves, new_tree = jax.tree_util.tree_flatten(new_params)
+        if old_tree != new_tree:
+            raise ValueError(
+                f"param tree structure mismatch: got {new_tree}, "
+                f"serving {old_tree}")
+        for i, (a, b) in enumerate(zip(old_leaves, new_leaves)):
+            if (np.shape(a) != np.shape(b)
+                    or np.asarray(a).dtype != np.asarray(b).dtype):
+                raise ValueError(
+                    f"param leaf {i} mismatch: got "
+                    f"{np.shape(b)}/{np.asarray(b).dtype}, serving "
+                    f"{np.shape(a)}/{np.asarray(a).dtype}")
+        if self.mesh is not None:
+            from m2tts_tpu.parallel.partition import shard_tree
+
+            new_params = shard_tree(new_params, self.mesh)
+        else:
+            new_params = jax.device_put(new_params)
+        # pay the transfer now, not on the first post-swap request
+        jax.block_until_ready(new_params)
+        self.params = new_params
+
     def synthesize_long(self, text: str, duration_scale: float = 1.0,
                         gap_ms: float = 120.0) -> Dict[str, np.ndarray]:
         """Arbitrary-length text → one waveform: sentence-split to the

@@ -10,6 +10,10 @@ surface is the one-shot scripts/synthesize.py CLI). Stdlib-only
         body: {"text": str, "duration_scale": float = 1.0}
   POST /synthesize_batch   → {"results": [{"audio_b64": wav-bytes-b64,
         body: {"texts": [str], ...}    "seconds": float}, ...]}
+  POST /reload             → zero-downtime checkpoint rollout: swaps the
+        body: {"checkpoint": dir,      serving weights in place with NO
+               "step": int|"best"}     recompilation (the compiled graphs
+                                       take params as an argument)
   POST /synthesize_stream  → audio/wav, Transfer-Encoding: chunked —
         body: {"text": str, ...}       first audio chunk is sent as soon
         as the chunked vocoder produces it (low-latency path; the
@@ -271,6 +275,34 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         print(f"stream client dropped: {e!r}", flush=True)
                         self.close_connection = True
                     return
+                elif self.path == "/reload":
+                    # zero-downtime checkpoint rollout: the compiled
+                    # graphs take params as an argument, so the swap
+                    # needs no recompilation; streaming singletons are
+                    # rebuilt lazily (in-flight streams drain on the old
+                    # weights)
+                    ck = req.get("checkpoint")
+                    if not ck or not isinstance(ck, str):
+                        self._json(400, {"error": "'checkpoint' (string "
+                                                  "dir) required"})
+                        return
+                    from m2tts_tpu.utils.checkpoint import load_for_inference
+
+                    try:
+                        params, _cfg, step = load_for_inference(
+                            ck, req.get("step"))
+                        with lock:
+                            synth.swap_params(params)
+                    except (ValueError, FileNotFoundError) as e:
+                        self._json(400, {"error": str(e)})
+                        return
+                    with streamer_mu:
+                        old_sb = streamer.pop("sb", None)
+                        streamer.pop("ss", None)
+                    if old_sb is not None:
+                        old_sb.close()
+                    self._json(200, {"status": "reloaded",
+                                     "checkpoint": ck, "step": step})
                 elif self.path == "/synthesize_batch":
                     texts = req.get("texts")
                     if (not isinstance(texts, list) or not texts
