@@ -242,8 +242,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Download / build TTS training data")
     p.add_argument("--dataset", choices=["ljspeech", "vctk"], default="ljspeech")
     p.add_argument("--data-dir", type=str, default="data")
-    p.add_argument("--subset-size", type=int, default=None,
-                   help="build a first-N utterance subset after download")
+    p.add_argument("--subset-size", "--subset", dest="subset_size",
+                   type=int, default=None,
+                   help="build a first-N utterance subset after download "
+                        "(--subset: the reference CLI's spelling, "
+                        "reference scripts/download_data.py)")
     p.add_argument("--verify-only", action="store_true",
                    help="verify an existing tree; no network access")
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
