@@ -9,9 +9,10 @@ CONFIG2 ?= configs/stage2_quality.yaml
 CKPT_DIR ?= outputs/checkpoints
 TEXT ?= Hello world, this is a test of the TPU text to speech system.
 
-.PHONY: help install setup test test-quick lint format train train-stage2 \
-        resume resume-stage2 download-data synthesize demo bench evaluate \
-        clean info \
+.PHONY: help install install-dev setup test test-quick lint format train \
+        train-poc train-stage2 resume resume-stage2 download-data \
+        download-full synthesize demo bench evaluate export \
+        clean clean-cache info \
         native
 
 native:
@@ -35,11 +36,16 @@ help:
 	@echo "  demo           untrained end-to-end demo synthesis"
 	@echo "  bench          run the benchmark harness (one JSON line)"
 	@echo "  evaluate       quality metrics for a checkpoint (CKPT=, DATA_DIR=)"
+	@echo "  export         StableHLO deployment artifact (CKPT=, OUT=)"
 	@echo "  info           device / model-size report"
 	@echo "  clean          remove caches and build artifacts"
+	@echo "  clean-cache    remove dataset/compile caches (keeps checkpoints)"
 
 install:
 	$(PYTHON) -m pip install -e .
+
+install-dev:
+	$(PYTHON) -m pip install -e . pytest
 
 setup:
 	mkdir -p outputs/checkpoints outputs/samples outputs/logs data
@@ -60,6 +66,9 @@ format:
 train:
 	$(PYTHON) scripts/train.py --config $(CONFIG)
 
+train-poc:
+	$(PYTHON) scripts/train.py --config configs/stage1_poc.yaml
+
 train-stage2:
 	$(PYTHON) scripts/train_stage2.py --config $(CONFIG2)
 
@@ -72,6 +81,10 @@ resume-stage2:
 download-data:
 	$(PYTHON) scripts/download_data.py --data-dir $(or $(DATA_DIR),data) \
 		$(if $(SUBSET),--subset-size $(SUBSET),)
+
+download-full:
+	$(PYTHON) scripts/download_data.py --dataset ljspeech \
+		--data-dir $(or $(DATA_DIR),data)
 
 synthesize:
 	$(PYTHON) scripts/synthesize.py --text "$(TEXT)" \
@@ -92,6 +105,13 @@ info:
 	$(PYTHON) -c "from m2tts_tpu.utils.device import get_device_info; \
 	import json; print(json.dumps(get_device_info(), indent=2, default=str))"
 
+export:
+	$(PYTHON) scripts/export_model.py --checkpoint $(or $(CKPT),$(CKPT_DIR)) \
+		--output $(or $(OUT),exported)
+
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
 	rm -rf build dist *.egg-info .pytest_cache
+
+clean-cache:
+	rm -rf data/*/cache outputs/*/cache .jax_cache
