@@ -28,7 +28,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from m2tts_tpu.data.dataset import DummyDataset, make_batches
 from m2tts_tpu.training import losses as L
