@@ -99,6 +99,37 @@ def test_discriminator_shapes(rng):
     assert n_params == 16_757_379
 
 
+def test_discriminator_batched_apply_exact(rng):
+    """The stage-2 trainers run ONE discriminator apply over [real; fake]
+    and slice (trainer_stage2.py d_loss_fn/g_loss_fn) — exact only while
+    the discriminator stays strictly per-sample (no batch-coupled ops
+    like BatchNorm). Lock that invariant in."""
+    from m2tts_tpu.models.discriminator import MultiScaleDiscriminator
+
+    disc = MultiScaleDiscriminator()
+    real = jnp.asarray(rng.normal(size=(2, 4096)), jnp.float32)
+    fake = jnp.asarray(rng.normal(size=(2, 4096)), jnp.float32)
+    params = disc.init(jax.random.PRNGKey(0), real)
+
+    logits_r, feats_r = disc.apply(params, real)
+    logits_f, feats_f = disc.apply(params, fake)
+    logits_b, feats_b = disc.apply(params, jnp.concatenate([real, fake], axis=0))
+
+    B = real.shape[0]
+    for lr, lf, lb in zip(logits_r, logits_f, logits_b):
+        np.testing.assert_allclose(np.asarray(lb[:B]), np.asarray(lr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lb[B:]), np.asarray(lf), atol=1e-5)
+    for fr, ff, fb in zip(feats_r, feats_f, feats_b):
+        for a, b, c in zip(fr, ff, fb):
+            np.testing.assert_allclose(np.asarray(c[:B]), np.asarray(a), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(c[B:]), np.asarray(b), atol=1e-5)
+
+    d_sep = L.lsgan_discriminator_loss(logits_r, logits_f)
+    d_bat = L.lsgan_discriminator_loss([l[:B] for l in logits_b],
+                                       [l[B:] for l in logits_b])
+    assert float(d_bat) == pytest.approx(float(d_sep), rel=1e-6)
+
+
 def test_early_stopping():
     es = L.EarlyStopping(patience=2, min_delta=0.01)
     assert not es(1.0)
