@@ -331,6 +331,19 @@ class Stage2Trainer:
                     if v.dtype in (jnp.bfloat16, jnp.float16) else v)
                 for k, v in batch.items()}
 
+    def _disc_apply(self, d_params, audio):
+        """Discriminator apply under the training compute-dtype policy:
+        bf16 params+input on the MXU when ``training.bf16`` (the grouped
+        convs are the dominant step cost), logits/features upcast to f32
+        so the LSGAN/feature-matching reductions never accumulate in
+        bf16. Gradients flow through the casts (f32 grads out)."""
+        if self.bf16:
+            audio = audio.astype(jnp.bfloat16)
+        logits, feats = self.discriminator.apply(
+            {"params": self._cast(d_params)}, audio)
+        return ([l.astype(jnp.float32) for l in logits],
+                [[f.astype(jnp.float32) for f in fs] for fs in feats])
+
     def _d_step_fn(self, g_params, d_state, batch, rng):
         batch = self._upcast(batch)
         _, _, audio_pred = self._acoustic_and_segment(g_params, batch, rng, True)
@@ -345,8 +358,8 @@ class Stage2Trainer:
             # grouped-conv gradient calls, the dominant cost of the step
             # (scripts/bench_gan_step.py: disc fwd+bwd 22.2 ms of the
             # 58.4 ms fused step).
-            logits, _ = self.discriminator.apply(
-                {"params": d_params},
+            logits, _ = self._disc_apply(
+                d_params,
                 jnp.concatenate([batch["audio_seg"], audio_pred], axis=0))
             real_logits = [l[:B] for l in logits]
             fake_logits = [l[B:] for l in logits]
@@ -376,8 +389,8 @@ class Stage2Trainer:
             # discriminator); the real half carries no generator gradient,
             # so only the fake half contributes to the backward.
             B = audio_pred.shape[0]
-            logits, feats = self.discriminator.apply(
-                {"params": d_params},
+            logits, feats = self._disc_apply(
+                d_params,
                 jnp.concatenate([audio_pred, batch["audio_seg"]], axis=0))
             fake_logits = [l[:B] for l in logits]
             fake_feats = [[f[:B] for f in fs] for fs in feats]
