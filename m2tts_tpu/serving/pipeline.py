@@ -15,6 +15,7 @@ handful of compilations:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import jax
@@ -24,6 +25,8 @@ import numpy as np
 from m2tts_tpu.frontend.text import TextProcessor
 from m2tts_tpu.models import M2TTS, build_model
 from m2tts_tpu.utils.config import Config
+
+logger = logging.getLogger(__name__)
 
 _PALLAS_OK: Optional[bool] = None  # cached Mosaic-compile probe result
 
@@ -116,6 +119,66 @@ def split_text_to_budget(text: str, text_processor, budget: int) -> List[str]:
             if cur:
                 out.append(cur)
     return out or [text]
+
+
+def make_kernel_vocoder_fn(model: M2TTS, vocoder_backend: str,
+                           compute_dtype: str, xla_fallback):
+    """Build the packed-weight vocoder dispatch ``vf(params, mel)`` for the
+    non-XLA backends ('mm' / 'pallas' / 'pallas_packed').
+
+    ONE definition shared by the batch (`Synthesizer`) and streaming
+    (`StreamingVocoder`) paths — the two used to carry hand-copied
+    versions of this dispatch and drifted (the streaming 'pallas' branch
+    silently dropped ``compute_dtype`` and ran the kernel f32 under a
+    bf16 config). Weights are packed INSIDE the traced graph so they
+    reach the kernel as arguments, never baked constants (remote Mosaic
+    compile chokes on constant-heavy modules — CLAUDE.md).
+
+    ``xla_fallback(params, mel)`` is the caller's XLA vocoder apply, used
+    per trace when the packed kernel's tiling cannot serve the (static)
+    mel shape.
+    """
+    from m2tts_tpu.ops.vocoder_mm import (pack_vocoder_weights,
+                                          vocoder_mm_forward)
+
+    rates = model.upsample_rates
+    if vocoder_backend == "mm":
+        def vf(p, mel):
+            packed = pack_vocoder_weights(p["params"]["vocoder"], rates)
+            return vocoder_mm_forward(mel, packed)
+    elif vocoder_backend == "pallas_packed":
+        from m2tts_tpu.ops.pallas.vocoder_packed import (
+            fused_vocoder_packed_forward, pick_tile)
+
+        interpret = jax.default_backend() != "tpu"
+        upsample = 1
+        for r in rates:
+            upsample *= r
+
+        def vf(p, mel):
+            tile = pick_tile(mel.shape[1], upsample)
+            if tile is None:
+                # shape the kernel's tiling can't serve — fall back to the
+                # XLA module (shapes are static under jit, so this is a
+                # trace-time branch)
+                return xla_fallback(p, mel)
+            packed = pack_vocoder_weights(p["params"]["vocoder"], rates)
+            return fused_vocoder_packed_forward(
+                mel, packed, rates, tile=tile, interpret=interpret,
+                compute_dtype=compute_dtype)
+    elif vocoder_backend == "pallas":
+        from m2tts_tpu.ops.pallas.vocoder import fused_vocoder_forward
+
+        interpret = jax.default_backend() != "tpu"
+
+        def vf(p, mel):
+            packed = pack_vocoder_weights(p["params"]["vocoder"], rates)
+            return fused_vocoder_forward(mel, packed, rates,
+                                         interpret=interpret,
+                                         compute_dtype=compute_dtype)
+    else:
+        raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
+    return vf
 
 
 class Synthesizer:
@@ -224,53 +287,17 @@ class Synthesizer:
         # compiled bucket (slow compiles; breaks remote Mosaic compile).
         self._vocoder_fn = None
         if vocoder_backend != "xla":
-            from m2tts_tpu.ops.vocoder_mm import (
-                pack_vocoder_weights, vocoder_mm_forward)
+            from m2tts_tpu.models.tts_model import Vocoder
 
-            rates = model.upsample_rates
-            if vocoder_backend == "mm":
-                def _vf(p, mel):
-                    packed = pack_vocoder_weights(p["params"]["vocoder"],
-                                                  rates)
-                    return vocoder_mm_forward(mel, packed)
-            elif vocoder_backend == "pallas_packed":
-                from m2tts_tpu.models.tts_model import Vocoder
-                from m2tts_tpu.ops.pallas.vocoder_packed import (
-                    fused_vocoder_packed_forward, pick_tile)
+            voc = Vocoder(model.mel_channels, model.vocoder_channels,
+                          3, tuple(model.upsample_rates))
 
-                interpret = jax.default_backend() != "tpu"
-                cdt = self.compute_dtype
-                U = self.upsample
-                voc = Vocoder(model.mel_channels, model.vocoder_channels,
-                              3, tuple(rates))
+            def _xla_fallback(p, mel):
+                return voc.apply(
+                    {"params": p["params"]["vocoder"]}, mel)[..., 0]
 
-                def _vf(p, mel):
-                    tile = pick_tile(mel.shape[1], U)
-                    if tile is None:
-                        # bucket shape the kernel's tiling can't serve —
-                        # per-bucket fallback to the XLA module (shapes are
-                        # static under jit, so this is a trace-time branch)
-                        return voc.apply(
-                            {"params": p["params"]["vocoder"]}, mel)[..., 0]
-                    packed = pack_vocoder_weights(p["params"]["vocoder"],
-                                                  rates)
-                    return fused_vocoder_packed_forward(
-                        mel, packed, rates, tile=tile, interpret=interpret,
-                        compute_dtype=cdt)
-            else:
-                from m2tts_tpu.ops.pallas.vocoder import (
-                    fused_vocoder_forward)
-
-                interpret = jax.default_backend() != "tpu"
-                cdt = self.compute_dtype  # bf16 serving → bf16 MXU kernel
-
-                def _vf(p, mel):
-                    packed = pack_vocoder_weights(p["params"]["vocoder"],
-                                                  rates)
-                    return fused_vocoder_forward(mel, packed, rates,
-                                                 interpret=interpret,
-                                                 compute_dtype=cdt)
-            self._vocoder_fn = _vf
+            self._vocoder_fn = make_kernel_vocoder_fn(
+                model, vocoder_backend, self.compute_dtype, _xla_fallback)
 
         self._synth = {}  # max_frames -> compiled fn
         self._probe = None  # lazily compiled duration probe
@@ -452,6 +479,16 @@ class Synthesizer:
             frames = int(min(totals[i], max_frames))
             trimmed = pcm[i, : frames * self.upsample]
             res = {"audio_pcm": trimmed, "frames": frames}
+            if int(totals[i]) > max_frames:
+                # predicted length exceeds the largest frame bucket: the
+                # audio is cut off mid-utterance. Surface it — silent
+                # clipping was classified a defect in validation (VERDICT
+                # r2 weak #7) and the serving path must not hide it either.
+                res["truncated"] = True
+                logger.warning(
+                    "Utterance %d predicted %d frames but the frame bucket "
+                    "caps at %d — audio truncated (raise data.frame_buckets "
+                    "or split the text)", i, int(totals[i]), max_frames)
             if not pcm_only:
                 # int16→float32 costs one full pass over the waveform per
                 # utterance on the (single) host CPU; bulk consumers that
@@ -537,13 +574,18 @@ class Synthesizer:
             raise ValueError(
                 f"param tree structure mismatch: got {new_tree}, "
                 f"serving {old_tree}")
+        def _dt(x):
+            # metadata only — np.asarray on a live device leaf would be a
+            # full D2H fetch + blocking tunnel round trip PER LEAF, inside
+            # the serve lock (CLAUDE.md: never per-array np.asarray)
+            return getattr(x, "dtype", None) or np.asarray(x).dtype
+
         for i, (a, b) in enumerate(zip(old_leaves, new_leaves)):
-            if (np.shape(a) != np.shape(b)
-                    or np.asarray(a).dtype != np.asarray(b).dtype):
+            if np.shape(a) != np.shape(b) or _dt(a) != _dt(b):
                 raise ValueError(
                     f"param leaf {i} mismatch: got "
-                    f"{np.shape(b)}/{np.asarray(b).dtype}, serving "
-                    f"{np.shape(a)}/{np.asarray(a).dtype}")
+                    f"{np.shape(b)}/{_dt(b)}, serving "
+                    f"{np.shape(a)}/{_dt(a)}")
         if self.mesh is not None:
             from m2tts_tpu.parallel.partition import shard_tree
 

@@ -85,48 +85,15 @@ class StreamingVocoder:
 
         if vocoder_backend == "xla":
             vf = xla_vf
-        elif vocoder_backend == "pallas_packed":
-            from m2tts_tpu.ops.pallas.vocoder_packed import (
-                fused_vocoder_packed_forward, pick_tile)
-
-            rates = model.upsample_rates
-            interpret = jax.default_backend() != "tpu"
-            cdt = self.compute_dtype
-            U = self.upsample
-
-            def vf(p, mel):
-                from m2tts_tpu.ops.vocoder_mm import pack_vocoder_weights
-
-                tile = pick_tile(mel.shape[1], U)
-                if tile is None:  # trace-time branch: shapes are static
-                    return xla_vf(p, mel)
-                packed = pack_vocoder_weights(p["params"]["vocoder"], rates)
-                return fused_vocoder_packed_forward(
-                    mel, packed, rates, tile=tile, interpret=interpret,
-                    compute_dtype=cdt)
-        elif vocoder_backend in ("mm", "pallas"):
-            from m2tts_tpu.ops.vocoder_mm import (pack_vocoder_weights,
-                                                  vocoder_mm_forward)
-
-            rates = model.upsample_rates
-            if vocoder_backend == "mm":
-                def vf(p, mel):
-                    packed = pack_vocoder_weights(p["params"]["vocoder"],
-                                                  rates)
-                    return vocoder_mm_forward(mel, packed)
-            else:
-                from m2tts_tpu.ops.pallas.vocoder import (
-                    fused_vocoder_forward)
-
-                interpret = jax.default_backend() != "tpu"
-
-                def vf(p, mel):
-                    packed = pack_vocoder_weights(p["params"]["vocoder"],
-                                                  rates)
-                    return fused_vocoder_forward(mel, packed, rates,
-                                                 interpret=interpret)
         else:
-            raise ValueError(f"Unknown vocoder_backend {vocoder_backend!r}")
+            # the SAME dispatch the batch path serves with — one shared
+            # definition so the kernels (and their compute_dtype) cannot
+            # drift between paths (a hand-copied version of this block
+            # once ran the 'pallas' kernel f32 under a bf16 config)
+            from m2tts_tpu.serving.pipeline import make_kernel_vocoder_fn
+
+            vf = make_kernel_vocoder_fn(model, vocoder_backend,
+                                        self.compute_dtype, xla_vf)
 
         bf16 = self.compute_dtype == "bf16" and vocoder_backend == "xla"
 

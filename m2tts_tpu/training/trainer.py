@@ -379,7 +379,9 @@ class Stage1Trainer:
 
     def train(self, resume: bool = False) -> Dict[str, float]:
         if resume and self.ckpt.latest_step() is not None:
-            host_state = jax.tree_util.tree_map(np.asarray, self.state)
+            # ONE device_get for the whole template — per-leaf np.asarray
+            # would pay a blocking tunnel round trip per parameter/opt leaf
+            host_state = self._host_state_copy()
             template = {"params": host_state.params,
                         "opt_state": host_state.opt_state,
                         "step": 0}
@@ -471,8 +473,12 @@ class Stage1Trainer:
         return last
 
     def validate(self, n_batches: int = 2) -> Dict[str, float]:
+        # drop_last=False: a corpus smaller than one batch per bucket must
+        # still validate — with the default drop_last every leftover group
+        # is dropped, validate() returns {}, and the best checkpoint is
+        # NEVER pinned (stage-2 fixed this; stage-1 had the same bug)
         it = make_batches(self.dataset, self.batch_size, self.buckets,
-                          seed=0, shuffle=False)
+                          seed=0, shuffle=False, drop_last=False)
         totals: Dict[str, float] = {}
         count = 0
         for batch in it:

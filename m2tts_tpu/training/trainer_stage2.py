@@ -229,6 +229,10 @@ class Stage2Trainer:
         self._gd_step_cached = jax.jit(
             functools.partial(self._gd_step_fn, cached=True),
             donate_argnums=(0, 1))
+        # validation forward (no donation — g_state stays live); cached
+        # per bucket shape by jit. Eager dispatch here would pay one
+        # tunnel round trip PER OP of the acoustic+vocoder+STFT chain.
+        self._val_fwd = jax.jit(self._val_fwd_fn)
         self._host_rng = np.random.default_rng(self.seed + 2)
         self.base_rng = jax.random.PRNGKey(self.seed + 3)
         self.step = 0
@@ -344,6 +348,19 @@ class Stage2Trainer:
         return ([l.astype(jnp.float32) for l in logits],
                 [[f.astype(jnp.float32) for f in fs] for fs in feats])
 
+    def _val_fwd_fn(self, g_params, batch):
+        """Teacher-forced validation forward: mel/spectral losses + raw
+        predictions, in one traced graph (jitted as ``self._val_fwd``)."""
+        batch = self._upcast(batch)
+        rng = jax.random.PRNGKey(0)
+        _, mel_pred, audio_pred = self._acoustic_and_segment(
+            g_params, batch, rng, True)
+        mel_loss = L.masked_mel_l1(mel_pred, batch["mel"],
+                                   batch["mel_lengths"])
+        spec_loss = L.multi_resolution_stft_loss(audio_pred,
+                                                 batch["audio_seg"])
+        return mel_loss, spec_loss, mel_pred, audio_pred
+
     def _d_step_fn(self, g_params, d_state, batch, rng):
         batch = self._upcast(batch)
         _, _, audio_pred = self._acoustic_and_segment(g_params, batch, rng, True)
@@ -383,7 +400,14 @@ class Stage2Trainer:
                 "spectral_loss": L.multi_resolution_stft_loss(
                     audio_pred, batch["audio_seg"]),
                 "perceptual_loss": L.perceptual_loss(
-                    audio_pred, batch["audio_seg"], n_mels=self.n_mels),
+                    audio_pred, batch["audio_seg"],
+                    # the vocoder's effective output rate, not the 22050
+                    # default: with data.sample_rate=16000 or the 64x
+                    # compat vocoder the Slaney filterbank would otherwise
+                    # extend past Nyquist (validate()'s STOI already uses
+                    # the effective rate)
+                    sample_rate=self._effective_sample_rate(),
+                    n_mels=self.n_mels),
             }
             # Single batched apply over [fake; real] (exact — per-sample
             # discriminator); the real half carries no generator gradient,
@@ -702,13 +726,12 @@ class Stage2Trainer:
             n_valid = int(batch.get("n_valid", batch["mel"].shape[0]))
             prepared, seg_targets = self._prepare(batch, rng=val_rng,
                                                   return_targets=True)
-            rng = jax.random.PRNGKey(0)
-            _, mel_pred, audio_pred = self._acoustic_and_segment(
-                self.g_state.params, prepared, rng, True)
-            mel_loss_dev = L.masked_mel_l1(mel_pred, prepared["mel"],
-                                           prepared["mel_lengths"])
-            spec_loss_dev = L.multi_resolution_stft_loss(
-                audio_pred, prepared["audio_seg"])
+            # jitted forward (cached per bucket shape): the eager version
+            # dispatched the whole acoustic+vocoder+STFT chain op-by-op —
+            # ~30 ms per dispatch over the tunnel, turning every
+            # validation into a multi-second stall (CLAUDE.md)
+            mel_loss_dev, spec_loss_dev, mel_pred, audio_pred = \
+                self._val_fwd(self.g_state.params, prepared)
             # ONE fetch for the whole validation step (scalars + arrays)
             mel_loss, spec_loss, mel_pred_h, audio_pred_h = jax.device_get(
                 (mel_loss_dev, spec_loss_dev, mel_pred, audio_pred))
@@ -816,8 +839,9 @@ class Stage2Trainer:
                     self.step)
 
     def restore(self) -> None:
-        g = jax.tree_util.tree_map(np.asarray, self.g_state)
-        d = jax.tree_util.tree_map(np.asarray, self.d_state)
+        # ONE device_get over both states — per-leaf np.asarray would pay
+        # a blocking tunnel round trip per leaf of BOTH optimizers
+        g, d = self._host_states_copy()
         template = {"generator": g.params, "g_opt_state": g.opt_state,
                     "discriminator": d.params, "d_opt_state": d.opt_state,
                     "step": 0}
