@@ -16,8 +16,8 @@ TEXT ?= Hello world, this is a test of the TPU text to speech system.
         native
 
 native:
-	g++ -O3 -march=native -fPIC -shared -std=c++17 \
-		native/mel_frontend.cpp -o native/libmelfrontend.so
+	$(PYTHON) -c "from m2tts_tpu.frontend.native import build_native; \
+		import sys; sys.exit(0 if build_native(force=True) else 1)"
 
 help:
 	@echo "m2tts_tpu targets:"

@@ -286,7 +286,11 @@ class TTSDataset:
                f"{ap.win_length}w_{ap.sample_rate}sr_"
                f"{float(ap.fmin):g}lo_{fmax}hi_"
                f"{self.max_text_length}t_{self.max_mel_length}f"
-               + ("_audio" if self.keep_audio else ""))
+               + ("_audio" if self.keep_audio else "")
+               # subset runs cache a TRUNCATED corpus — without this tag a
+               # later full-corpus run would silently load the subset as
+               # the whole dataset
+               + (f"_{self.subset_size}ss" if self.subset_size else ""))
         return self.cache_dir / f"processed_{tag}.pkl"
 
     def _load_samples(self) -> List[Dict[str, Any]]:
@@ -330,6 +334,9 @@ class TTSDataset:
                 continue
             if s is not None:
                 samples.append(s)
+                if self.subset_size and len(samples) >= self.subset_size:
+                    break  # don't mel-process the 12.9k utterances a
+                    # subset smoke run is about to throw away
         return samples
 
     def _load_paired_files(self) -> List[Dict[str, Any]]:
@@ -351,6 +358,8 @@ class TTSDataset:
                 continue
             if s is not None:
                 samples.append(s)
+                if self.subset_size and len(samples) >= self.subset_size:
+                    break
         return samples
 
     def _process_sample(self, wav: Path, text: str

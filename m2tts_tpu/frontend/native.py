@@ -30,7 +30,22 @@ logger = logging.getLogger(__name__)
 
 _REPO = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO / "native" / "mel_frontend.cpp"
-_LIB = _REPO / "native" / "libmelfrontend.so"
+
+
+def _lib_path() -> Path:
+    """Host-CPU-fingerprint-scoped .so path.
+
+    The build uses ``-march=native``, so the binary is AOT code for the
+    *build* host's CPU features — the exact failure mode CLAUDE.md
+    documents for the .jax_cache: rounds migrate VMs, and a foreign-host
+    .so dies with an uncatchable SIGILL on first call (no Python
+    exception for AudioProcessor's fallback to catch). Scoping the
+    filename by the same fingerprint utils/device uses makes a
+    foreign-host binary invisible instead of fatal."""
+    from m2tts_tpu.utils.device import _host_fingerprint
+
+    return _REPO / "native" / f"libmelfrontend_{_host_fingerprint()}.so"
+
 
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
@@ -38,15 +53,18 @@ _load_failed = False
 
 def build_native(force: bool = False) -> bool:
     """Compile the shared library; returns True on success."""
-    if _LIB.exists() and not force:
+    lib_path = _lib_path()
+    if (lib_path.exists() and not force
+            # stale-source check: edits to the .cpp must trigger a rebuild
+            and lib_path.stat().st_mtime >= _SRC.stat().st_mtime):
         return True
     if not _SRC.exists():
         return False
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           str(_SRC), "-o", str(_LIB)]
+           str(_SRC), "-o", str(lib_path)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        logger.info("built native mel frontend: %s", _LIB)
+        logger.info("built native mel frontend: %s", lib_path)
         return True
     except (OSError, subprocess.SubprocessError) as e:
         logger.warning("native mel frontend build failed: %s", e)
@@ -57,11 +75,11 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB.exists() and not build_native():
+    if not build_native():
         _load_failed = True
         return None
     try:
-        lib = ctypes.CDLL(str(_LIB))
+        lib = ctypes.CDLL(str(_lib_path()))
         lib.mf_num_frames.restype = ctypes.c_int64
         lib.mf_num_frames.argtypes = [ctypes.c_int64, ctypes.c_int,
                                       ctypes.c_int]

@@ -174,7 +174,8 @@ class ConvTranspose1d(nn.Module):
 
     Implemented as zero-insertion + conv with flipped kernel and padding
     (k-1-p) per side, i.e. the exact gradient-of-conv formulation. With the
-    vocoder's (k=2r, s=r, p=r//2) this maps L frames to exactly L*r.
+    vocoder's (k=2r, s=r, p=r//2) this maps L frames to exactly L*r for
+    EVEN r (odd r emits L*r+1; Vocoder rejects odd rates at construction).
     Kernel parameter layout is torch's (in, out, k) so reference weights
     copy over without reshaping (reference src/models/tts_model.py:255-263).
     """
@@ -293,7 +294,6 @@ def spectral_normalize(w: Array, n_iter: int = 3) -> Array:
     compiled train step (no mutable power-iteration buffers)."""
     mat = w.reshape(-1, w.shape[-1])
     v = jnp.full((mat.shape[1],), 1.0 / math.sqrt(mat.shape[1]), mat.dtype)
-    u = mat @ v
     for _ in range(n_iter):
         u = mat @ v
         u = u / (jnp.linalg.norm(u) + 1e-12)

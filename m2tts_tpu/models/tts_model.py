@@ -137,6 +137,16 @@ class Vocoder(nn.Module):
 
     @nn.compact
     def __call__(self, mel: Array) -> Array:
+        for r in self.upsample_rates:
+            if r % 2:
+                # (k=2r, s=r, p=r//2) maps L frames to exactly L*r ONLY for
+                # even r; an odd rate emits L*r+1 samples, silently
+                # desyncing from total_upsample*T everywhere downstream
+                # (serving trim boundaries, the mm/Pallas kernel packings).
+                # Fail at construction instead.
+                raise ValueError(
+                    f"vocoder upsample_rates must be even, got {r} in "
+                    f"{tuple(self.upsample_rates)}")
         x = Conv1d(self.hidden_channels, self.kernel_size, name="input_conv")(mel)
         ch = self.hidden_channels
         for i, rate in enumerate(self.upsample_rates):

@@ -47,6 +47,10 @@ def pack_tconv(kernel, bias, rate: int) -> Dict[str, Array]:
     """
     cin, cout, k = kernel.shape
     assert k == 2 * rate
+    if rate % 2:
+        # the sub-pixel mapping (and the flax ConvTranspose1d it mirrors)
+        # is exact-L*r only for even rates; see Vocoder.__call__
+        raise ValueError(f"pack_tconv requires an even rate, got {rate}")
     half = rate // 2
     kernel = jnp.asarray(kernel, jnp.float32)
     W = jnp.zeros((3 * cin, rate * cout), jnp.float32)

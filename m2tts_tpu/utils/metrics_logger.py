@@ -49,18 +49,48 @@ class MetricsLogger:
             self._wandb.log(metrics, step=step)
 
     def _log_csv(self, row: Dict) -> None:
-        fields = sorted(row.keys())
-        if self._csv_writer is None or fields != self._csv_fields:
-            if self._csv_file:
-                self._csv_file.close()
-            path = self.log_dir / "metrics.csv"
-            new = not path.exists()
-            self._csv_file = open(path, "a", newline="")
-            self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=fields,
-                                              extrasaction="ignore")
-            self._csv_fields = fields
-            if new:
-                self._csv_writer.writeheader()
+        """One well-formed CSV even though train and validation rows carry
+        different key sets (both trainers alternate them in one logger).
+        The header is the growing UNION of all seen fields; when a row
+        introduces new fields the file is rewritten once with the extended
+        header (missing cells are blank). Appending rows with a different
+        layout under the original header — the old behavior — misaligns
+        every later column for any CSV consumer."""
+        new_fields = sorted(row.keys())
+        if self._csv_writer is not None and all(
+                f in self._csv_fields for f in new_fields):
+            self._csv_writer.writerow(row)
+            self._csv_file.flush()
+            return
+        path = self.log_dir / "metrics.csv"
+        if self._csv_file:
+            self._csv_file.close()
+        existing_fields: list = []
+        existing_rows: list = []
+        if path.exists():
+            with open(path, newline="") as f:
+                reader = csv.DictReader(f)
+                existing_fields = list(reader.fieldnames or [])
+                if any(f not in existing_fields for f in new_fields):
+                    existing_rows = list(reader)  # needed for the rewrite
+        fields = list(dict.fromkeys([*existing_fields, *new_fields]))
+        if existing_fields and fields != existing_fields:
+            with open(path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fields, restval="",
+                                   extrasaction="ignore")
+                w.writeheader()
+                for old in existing_rows:
+                    old.pop(None, None)  # ragged legacy rows: drop extras
+                    w.writerow(old)
+            write_header = False
+        else:
+            write_header = not existing_fields
+        self._csv_file = open(path, "a", newline="")
+        self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=fields,
+                                          restval="", extrasaction="ignore")
+        self._csv_fields = fields
+        if write_header:
+            self._csv_writer.writeheader()
         self._csv_writer.writerow(row)
         self._csv_file.flush()
 

@@ -148,5 +148,11 @@ def convert_reference_checkpoint(path: str):
 
     n_enc = int(_cfg_get("model.text_encoder.num_layers", 2))
     n_dec = int(_cfg_get("model.decoder.num_layers", 2))
-    params = convert_reference_state_dict(sd, n_enc, n_dec)
+    # size the vocoder loop from the embedded config too — a checkpoint
+    # with e.g. 5 upsample stages would otherwise be silently converted
+    # as 4 and fail (or mis-run) far from the real cause
+    rates = _cfg_get("model.vocoder.upsample_rates", None)
+    n_ups = len(rates) if rates is not None else 4
+    params = convert_reference_state_dict(sd, n_enc, n_dec,
+                                          num_upsamples=n_ups)
     return params, cfg

@@ -97,6 +97,29 @@ def test_ljspeech_ingest_and_cache(tmp_path):
     assert (tmp_path / "cache").exists()
 
 
+def test_subset_cache_never_poisons_full_runs(tmp_path):
+    """A subset run's cache must not be served to a later full-corpus run
+    (the cache file is written post-truncation, so the tag carries the
+    subset size), and subset ingest stops processing at subset_size."""
+    wavs = tmp_path / "wavs"
+    wavs.mkdir(parents=True)
+    sr = 22050
+    lines = []
+    for i in range(4):
+        audio = 0.3 * np.sin(2 * np.pi * (200 + 20 * i)
+                             * np.arange(sr // 4) / sr)
+        save_wav(audio.astype(np.float32), wavs / f"utt{i}.wav", sr)
+        lines.append(f"utt{i}|Sample {i}|sample {i}")
+    (tmp_path / "metadata.csv").write_text("\n".join(lines))
+
+    sub = TTSDataset(tmp_path, subset_size=2)
+    assert len(sub) == 2
+    full = TTSDataset(tmp_path)  # must NOT hit the subset cache
+    assert len(full) == 4
+    # both caches coexist under distinct tags
+    assert len(list((tmp_path / "cache").glob("processed_*.pkl"))) == 2
+
+
 def test_paired_files_ingest(tmp_path):
     sr = 22050
     audio = 0.3 * np.sin(2 * np.pi * 220 * np.arange(sr // 4) / sr)

@@ -39,3 +39,20 @@ def test_mm_jits(setup, rng):
     fn = jax.jit(lambda m: vocoder_mm_forward(m, packed))
     out = fn(mel)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_odd_upsample_rates_rejected():
+    """(k=2r, s=r, p=r//2) is exact-L*r only for even r; both the flax
+    module and the packed form must fail loudly instead of silently
+    emitting L*r+1 samples."""
+    from m2tts_tpu.models.tts_model import Vocoder
+    from m2tts_tpu.ops.vocoder_mm import pack_tconv
+
+    voc = Vocoder(mel_channels=16, hidden_channels=32,
+                  upsample_rates=(5, 2))
+    with pytest.raises(ValueError, match="even"):
+        voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16), jnp.float32))
+
+    with pytest.raises(ValueError, match="even"):
+        pack_tconv(jnp.zeros((4, 2, 6), jnp.float32),
+                   jnp.zeros((2,), jnp.float32), rate=3)
