@@ -499,6 +499,9 @@ def _bench_training(n_steps: int = 60):
                           max_mel_length=480, seed=0)
         trainer = Stage1Trainer(cfg, dataset=ds)
         it = trainer._device_cached_iterator()
+        if it is None:  # HBM-budget miss → streaming fallback exists, but
+            # the bench's number is defined as the device-cached rate
+            raise RuntimeError("device cache unavailable")
         import jax
 
         def step(batch):

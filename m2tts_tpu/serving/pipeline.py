@@ -601,23 +601,48 @@ class Synthesizer:
         """Arbitrary-length text → one waveform: sentence-split to the
         bucket budget, one bucketed batch over all chunks, concatenate
         with ``gap_ms`` of silence at chunk joins."""
-        chunks = self.split_text(text)
+        return self.synthesize_batch_long([text], duration_scale, gap_ms)[0]
+
+    def synthesize_batch_long(self, texts: List[str],
+                              duration_scale: float = 1.0,
+                              gap_ms: float = 120.0
+                              ) -> List[Dict[str, np.ndarray]]:
+        """``synthesize_batch`` without the phoneme-budget cliff: each text
+        is sentence-split to the bucket budget, ALL chunks run through the
+        bucketed batch path together (shared dispatches), and per-text
+        audio is reassembled with ``gap_ms`` of silence at chunk joins.
+        In-budget texts pass through with single-chunk results."""
+        per_text = [self.split_text(t) for t in texts]
+        flat = [c for chunks in per_text for c in chunks]
         max_b = max(self.batch_buckets)
-        results = []
-        for i in range(0, len(chunks), max_b):
-            results.extend(self.synthesize_batch(chunks[i:i + max_b],
+        results: List[Dict[str, np.ndarray]] = []
+        for i in range(0, len(flat), max_b):
+            results.extend(self.synthesize_batch(flat[i:i + max_b],
                                                  duration_scale))
         gap = np.zeros(int(self.sample_rate * gap_ms / 1000.0), np.float32)
-        pieces: List[np.ndarray] = []
-        for i, r in enumerate(results):
-            if i:
-                pieces.append(gap)
-            pieces.append(r["audio"])
-        audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
-        return {"audio": audio,
+        out: List[Dict[str, np.ndarray]] = []
+        k = 0
+        for chunks in per_text:
+            rs = results[k: k + len(chunks)]
+            k += len(chunks)
+            if len(rs) == 1:
+                rs[0]["chunks"] = chunks
+                out.append(rs[0])
+                continue
+            pieces: List[np.ndarray] = []
+            for j, r in enumerate(rs):
+                if j:
+                    pieces.append(gap)
+                pieces.append(r["audio"])
+            audio = (np.concatenate(pieces) if pieces
+                     else np.zeros(0, np.float32))
+            out.append({
+                "audio": audio,
                 "audio_pcm": (np.clip(audio, -1, 1) * 32767).astype(np.int16),
                 "chunks": chunks,
-                "frames": int(sum(r["frames"] for r in results))}
+                "frames": int(sum(r["frames"] for r in rs)),
+            })
+        return out
 
     def reachable_shapes(self, full: bool = True):
         """Every (batch, text, frames) compile shape a request can select.

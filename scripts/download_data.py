@@ -43,7 +43,17 @@ def download_file(url: str, output_path: Path) -> None:
         sys.stderr.flush()
 
     print(f"Downloading {url} -> {output_path}")
-    urllib.request.urlretrieve(url, output_path, reporthook=report)
+    # download to a temp name and rename on success: an interrupted
+    # transfer must not leave a partial archive that a retry then skips
+    # (archive.exists() short-circuits the re-download) and that tarfile
+    # fails on forever
+    part = output_path.with_suffix(output_path.suffix + ".part")
+    try:
+        urllib.request.urlretrieve(url, part, reporthook=report)
+    except BaseException:
+        part.unlink(missing_ok=True)
+        raise
+    part.rename(output_path)
     sys.stderr.write("\n")
 
 

@@ -310,9 +310,17 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         self._json(400, {"error": "'texts' (non-empty list "
                                                   "of strings) required"})
                         return
+                    budget = synth.phoneme_budget() - 2
+                    over = any(
+                        len(synth.text_processor.text_to_phonemes(t)) > budget
+                        for t in texts)
                     with lock:
-                        results = synth.synthesize_batch(
-                            texts, scale)
+                        # over-budget texts would silently truncate
+                        # mid-utterance through the plain batch path (the
+                        # /synthesize route already guards this)
+                        results = (synth.synthesize_batch_long(texts, scale)
+                                   if over
+                                   else synth.synthesize_batch(texts, scale))
                     out = [{"audio_b64": base64.b64encode(
                                 wav_bytes(r["audio_pcm"],
                                           synth.sample_rate)).decode(),

@@ -117,14 +117,15 @@ def main(argv=None):
     t0 = time.perf_counter()
     budget = synth.phoneme_budget() - 2
     n_phon = lambda t: len(synth.text_processor.text_to_phonemes(t))
-    if (len(texts) == 1 and not args.griffin_lim
-            and n_phon(texts[0]) > budget):
+    if not args.griffin_lim and any(n_phon(t) > budget for t in texts):
         # over one bucket: sentence-chunked long-form path (otherwise the
-        # frontend silently truncates to the bucket)
-        long_res = synth.synthesize_long(texts[0], args.duration_scale)
-        print(f"long-form: {n_phon(texts[0])} phonemes split into "
-              f"{len(long_res['chunks'])} chunks")
-        results = [long_res]
+        # frontend silently truncates to the bucket) — applies to
+        # --batch-file lines too, not just single-text invocations
+        results = synth.synthesize_batch_long(texts, args.duration_scale)
+        n_over = sum(1 for t in texts if n_phon(t) > budget)
+        n_chunks = sum(len(r["chunks"]) for r in results)
+        print(f"long-form: {n_over}/{len(texts)} text(s) over the "
+              f"{budget}-phoneme budget; split into {n_chunks} chunks")
     else:
         # chunk into bucket-sized groups so a batch file with more lines
         # than the largest batch bucket still yields one WAV per line

@@ -73,14 +73,17 @@ def test_phoneme_dict():
 def test_model_forward():
     import jax
     import jax.numpy as jnp
-    from m2tts_tpu.models import build_model
+    from m2tts_tpu.models import build_model, init_params
     from m2tts_tpu.utils.config import load_config
 
     cfg = load_config(REPO / "configs" / "stage1_poc.yaml")
     model = build_model(cfg.model)
     ids = jnp.zeros((2, 32), jnp.int32).at[:, :10].set(5)
     lengths = jnp.array([10, 8], jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), ids, lengths, max_frames=128)
+    # CPU init + one transfer — a direct model.init on a tunneled TPU
+    # backend dispatches per-op (~90 s for flagship; CLAUDE.md)
+    params = init_params(model, jax.random.PRNGKey(0), ids, lengths,
+                         max_frames=128)
     out = model.apply(params, ids, lengths, max_frames=128)
     mel = out["mel_output"]
     assert mel.shape[0] == 2 and mel.shape[2] == cfg.model.decoder.mel_channels

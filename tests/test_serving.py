@@ -103,6 +103,50 @@ def test_cli_smoke(tmp_path, monkeypatch):
     assert len(audio) > 0
 
 
+def test_cli_batch_file_long_form(tmp_path):
+    """--batch-file lines over the phoneme budget must route through the
+    chunked long-form path (one WAV per line, nothing truncated), not
+    just single-text invocations."""
+    from m2tts_tpu.utils.checkpoint import CheckpointManager
+    from m2tts_tpu.utils.config import Config
+    import scripts.synthesize as cli
+    from m2tts_tpu.models import build_model
+
+    cfg = Config({
+        "model": {
+            "text_encoder": {"vocab_size": 64, "hidden_dim": 32,
+                             "num_layers": 1, "num_heads": 2, "dropout": 0.0},
+            "decoder": {"mel_channels": 16, "num_layers": 1},
+            "vocoder": {"hidden_channels": 32},
+        },
+        "data": {"sample_rate": 22050, "hop_length": 256},
+    })
+    model = build_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        max_frames=16, run_vocoder=True)
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(1, {"generator": params["params"], "step": 1}, config=cfg)
+    mgr.close()
+
+    long_line = ("the quick brown fox jumps over the lazy dog. " * 12).strip()
+    bf = tmp_path / "lines.txt"
+    bf.write_text("hello world\n" + long_line + "\n")
+    out = tmp_path / "out.wav"
+    rc = cli.main(["--batch-file", str(bf), "--checkpoint",
+                   str(tmp_path / "ckpt"), "--output", str(out)])
+    assert rc == 0
+    from m2tts_tpu.frontend.audio import load_wav
+
+    short_wav = tmp_path / "out_000.wav"
+    long_wav = tmp_path / "out_001.wav"
+    assert short_wav.exists() and long_wav.exists()
+    a0, _ = load_wav(short_wav)
+    a1, _ = load_wav(long_wav)
+    # the over-budget line yields far more audio than the short one
+    # (truncation to one bucket would cap it near the short line's length)
+    assert len(a1) > 4 * len(a0)
+
+
 class TestLongForm:
     """Sentence-chunked synthesis for texts beyond one bucket."""
 
@@ -159,6 +203,25 @@ class TestLongForm:
 
     def test_short_text_single_chunk(self, synth):
         assert synth.split_text("hello world") == ["hello world"]
+
+    def test_synthesize_batch_long_mixed(self, synth):
+        """A batch mixing in-budget and over-budget texts: one result per
+        text, over-budget ones chunked (the plain batch path would
+        silently truncate them mid-utterance)."""
+        import numpy as np
+
+        short = "hello world"
+        long_text = ("hello world. " * 10).strip()
+        results = synth.synthesize_batch_long([short, long_text], gap_ms=50)
+        assert len(results) == 2
+        assert results[0]["chunks"] == [short]
+        assert len(results[1]["chunks"]) > 1
+        for r in results:
+            assert r["audio"].ndim == 1 and r["audio"].size > 0
+            assert np.isfinite(r["audio"]).all()
+        # the long entry equals the single-text long-form path
+        solo = synth.synthesize_long(long_text, gap_ms=50)
+        np.testing.assert_allclose(results[1]["audio"], solo["audio"])
 
 
 def test_warmup_compiles_buckets():
