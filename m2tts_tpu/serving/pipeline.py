@@ -387,7 +387,8 @@ class Synthesizer:
 
         return cast_params_bf16(p)
 
-    def _get_synth(self, max_frames: int, want_mel: bool):
+    def _get_synth(self, max_frames: int, want_mel: bool,
+                   pcm_format: str = "int16"):
         """Compiled synthesis graph. The fast path quantizes audio to int16
         on device (PCM) and skips the mel output entirely — device→host
         bytes, not FLOPs, bound serving throughput on PCIe/tunnel hosts.
@@ -396,12 +397,20 @@ class Synthesizer:
         graph (fuses into first use; HBM copy stays f32) and the waveform
         is upcast to f32 before PCM scaling. The mm/pallas vocoder
         backends still run f32 (their packed-weight kernels; the XLA
-        backend — the measured fastest — gets the full bf16 path)."""
-        key = (max_frames, want_mel)
+        backend — the measured fastest — gets the full bf16 path).
+
+        ``pcm_format='mulaw'`` compands the int16 PCM to G.711 μ-law
+        INSIDE the graph (ops/audio_codec.py) — the waveform crosses the
+        device→host link at 1 byte/sample instead of 2, which on
+        link-bound hosts (DESIGN.md §3) is a ~2x delivered-throughput
+        lever. The μ-law bytes are the exact G.711 encode of the int16
+        the 'int16' graph would have produced (test_serving_mulaw.py)."""
+        key = (max_frames, want_mel, pcm_format)
         if key not in self._synth:
             model = self.model
             vocoder_fn = self._vocoder_fn
             bf16 = self.compute_dtype == "bf16"
+            mulaw = pcm_format == "mulaw"
 
             def fn(p, packed, scale):
                 ids, lengths = packed[:, :-1], packed[:, -1]
@@ -419,8 +428,13 @@ class Synthesizer:
                     audio = vocoder_fn(
                         p, out["mel_output"].astype(jnp.float32))
                 audio = audio.astype(jnp.float32)
-                pcm = jnp.clip(audio, -1.0, 1.0) * 32767.0
-                result = {"pcm": pcm.astype(jnp.int16),
+                pcm = (jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(
+                    jnp.int16)
+                if mulaw:
+                    from m2tts_tpu.ops.audio_codec import mulaw_encode_pcm16
+
+                    pcm = mulaw_encode_pcm16(pcm)
+                result = {"pcm": pcm,
                           "total_frames": out["total_frames"]}
                 if want_mel:
                     result["mel"] = out["mel_output"].astype(jnp.float32)
@@ -450,8 +464,11 @@ class Synthesizer:
         return packed[:, :-1], packed[:, -1]
 
     def _launch(self, texts: List[str], duration_scale: float,
-                max_frames: Optional[int], want_mel: bool):
+                max_frames: Optional[int], want_mel: bool,
+                pcm_format: str = "int16"):
         """Dispatch the compiled graph; returns (device outputs, max_frames)."""
+        if pcm_format not in ("int16", "mulaw"):
+            raise ValueError(f"Unknown pcm_format {pcm_format!r}")
         ids, lengths = self._encode_batch(texts)
         packed = self._put(self._pack(ids, lengths))
         if max_frames is None:
@@ -460,7 +477,7 @@ class Synthesizer:
                                       self._scale_arr(duration_scale)))
             max_frames = _bucket_for(int(totals[: len(texts)].max()),
                                      self.frame_buckets)
-        fn = self._get_synth(max_frames, want_mel)
+        fn = self._get_synth(max_frames, want_mel, pcm_format)
         out = fn(self.params, packed, self._scale_arr(duration_scale))
         return out, max_frames
 
@@ -471,14 +488,25 @@ class Synthesizer:
         # host↔device round trip per array (which dominates latency on
         # PCIe/tunnel hosts)
         host = jax.device_get(out)
-        pcm = host["pcm"]  # [B, samples] int16
+        pcm = host["pcm"]  # [B, samples] int16 (or uint8 μ-law)
+        mulaw = pcm.dtype == np.uint8
         totals = host["total_frames"]
         mel = host["mel"] if want_mel else None
         results = []
         for i in range(n):
             frames = int(min(totals[i], max_frames))
             trimmed = pcm[i, : frames * self.upsample]
-            res = {"audio_pcm": trimmed, "frames": frames}
+            if mulaw:
+                res = {"audio_mulaw": trimmed, "frames": frames}
+                if not pcm_only:
+                    # one 256-entry table gather per utterance; bulk μ-law
+                    # consumers (serve.py) ship the bytes directly
+                    from m2tts_tpu.ops.audio_codec import mulaw_decode_np
+
+                    trimmed = mulaw_decode_np(trimmed)
+                    res["audio_pcm"] = trimmed
+            else:
+                res = {"audio_pcm": trimmed, "frames": frames}
             if int(totals[i]) > max_frames:
                 # predicted length exceeds the largest frame bucket: the
                 # audio is cut off mid-utterance. Surface it — silent
@@ -501,21 +529,24 @@ class Synthesizer:
 
     def synthesize_batch(self, texts: List[str], duration_scale: float = 1.0,
                          max_frames: Optional[int] = None,
-                         want_mel: bool = False
+                         want_mel: bool = False, pcm_format: str = "int16"
                          ) -> List[Dict[str, np.ndarray]]:
         """Synthesize a list of texts; returns per-utterance dicts with
         trimmed ``audio`` (float32), ``audio_pcm`` (int16), ``frames``, and
-        ``mel`` when ``want_mel``."""
+        ``mel`` when ``want_mel``. ``pcm_format='mulaw'`` adds
+        ``audio_mulaw`` (G.711 bytes, companded on device — half the
+        device→host bytes) and derives ``audio_pcm``/``audio`` from it."""
         if not texts:
             return []
         out, max_frames = self._launch(texts, duration_scale, max_frames,
-                                       want_mel)
+                                       want_mel, pcm_format)
         return self._collect(out, max_frames, len(texts), want_mel)
 
     def synthesize_stream(self, batches: Iterable[List[str]],
                           duration_scale: float = 1.0,
                           max_frames: Optional[int] = None,
-                          want_mel: bool = False, pcm_only: bool = False
+                          want_mel: bool = False, pcm_only: bool = False,
+                          pcm_format: str = "int16"
                           ) -> Iterator[List[Dict[str, np.ndarray]]]:
         """Pipelined bulk synthesis: batch i+1 is dispatched before batch
         i's results are fetched, overlapping device compute with the
@@ -524,7 +555,7 @@ class Synthesizer:
         pending = None  # (out, max_frames, n)
         for texts in batches:
             launched = (*self._launch(texts, duration_scale, max_frames,
-                                      want_mel), len(texts))
+                                      want_mel, pcm_format), len(texts))
             if pending is not None:
                 yield self._collect(pending[0], pending[1], pending[2],
                                     want_mel, pcm_only)
@@ -534,9 +565,11 @@ class Synthesizer:
                                 pcm_only)
 
     def synthesize(self, text: str, duration_scale: float = 1.0,
-                   want_mel: bool = False) -> Dict[str, np.ndarray]:
+                   want_mel: bool = False, pcm_format: str = "int16"
+                   ) -> Dict[str, np.ndarray]:
         return self.synthesize_batch([text], duration_scale,
-                                     want_mel=want_mel)[0]
+                                     want_mel=want_mel,
+                                     pcm_format=pcm_format)[0]
 
     # -- long-form synthesis --------------------------------------------------
     def phoneme_budget(self) -> int:
