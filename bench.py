@@ -154,6 +154,32 @@ def main():
     throughput = max(batched_runs)
     batch_wall_best = 1.0 / (max(batched_runs) / total_audio_sec * ITERS)
 
+    # ---- delivered throughput, G.711 μ-law output (serving format=
+    # mulaw): the PCM16 number above is strictly link-bound at batch 64,
+    # and device-side companding halves the bytes per sample crossing
+    # the link. Two windows back-to-back with the PCM16 phase, so both
+    # see the same tunnel weather.
+    mulaw_runs, mulaw_throughput = [], None
+    try:
+        for _ in range(2):  # warmup + compile the μ-law graph
+            synth.synthesize_batch(texts, duration_scale=scale,
+                                   max_frames=FRAME_BUCKET,
+                                   pcm_format="mulaw")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            total_audio_sec = 0.0
+            for results in synth.synthesize_stream(
+                    (texts for _ in range(ITERS)), duration_scale=scale,
+                    max_frames=FRAME_BUCKET, pcm_only=True,
+                    pcm_format="mulaw"):
+                total_audio_sec += sum(len(r["audio_mulaw"])
+                                       for r in results) / SAMPLE_RATE
+            mulaw_runs.append(
+                total_audio_sec / (time.perf_counter() - t0))
+        mulaw_throughput = max(mulaw_runs)
+    except Exception as e:  # never let the extra metric kill the bench
+        print(f"mulaw throughput skipped: {e}", file=sys.stderr)
+
     # ---- device-only throughput: audio generated per second with the PCM
     # left on device (only the [B] frame counts are fetched). Separates
     # chip capability from the host link: the tunneled link here swings
@@ -284,6 +310,11 @@ def main():
         "batched_device_runs": [round(x, 1) for x in device_runs],
         "batched_device_only_f32": (round(device_f32, 1)
                                     if device_f32 else None),
+        "batched_throughput_mulaw": (round(mulaw_throughput, 2)
+                                     if mulaw_throughput else None),
+        "mulaw_runs": [round(x, 1) for x in mulaw_runs],
+        "mulaw_vs_pcm16": (round(mulaw_throughput / throughput, 2)
+                           if mulaw_throughput else None),
         "bf16_speedup_device": (round(max(device_runs) / device_f32, 2)
                                 if device_f32 else None),
         "compute_dtype": synth.compute_dtype,

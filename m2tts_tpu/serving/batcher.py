@@ -35,11 +35,12 @@ logger = logging.getLogger(__name__)
 
 
 class _Pending:
-    __slots__ = ("text", "scale", "event", "result", "error")
+    __slots__ = ("text", "scale", "pcm_format", "event", "result", "error")
 
-    def __init__(self, text: str, scale: float):
+    def __init__(self, text: str, scale: float, pcm_format: str = "int16"):
         self.text = text
         self.scale = scale
+        self.pcm_format = pcm_format
         self.event = threading.Event()
         self.result: Optional[Dict[str, Any]] = None
         self.error: Optional[BaseException] = None
@@ -85,13 +86,15 @@ class DynamicBatcher:
 
     # -- client side ----------------------------------------------------------
     def submit(self, text: str, duration_scale: float = 1.0,
-               timeout: Optional[float] = None) -> Dict[str, Any]:
+               timeout: Optional[float] = None,
+               pcm_format: str = "int16") -> Dict[str, Any]:
         """Block until the request's synthesis result is ready.
 
         Caller is responsible for routing texts over the phoneme budget
         to ``synthesize_long`` instead (they need chunking, not
-        batching)."""
-        p = _Pending(text, float(duration_scale))
+        batching). Requests are grouped per (duration_scale, pcm_format)
+        — each pair is its own compiled-graph family."""
+        p = _Pending(text, float(duration_scale), pcm_format)
         with self._submit_mu:
             if self._closed:
                 raise RuntimeError("batcher is closed")
@@ -139,14 +142,14 @@ class DynamicBatcher:
             if first is None:
                 return
             batch, stop = self._drain_window(first)
-            by_scale: Dict[float, list] = {}
+            by_key: Dict[tuple, list] = {}
             for p in batch:
-                by_scale.setdefault(p.scale, []).append(p)
-            for scale, group in by_scale.items():
+                by_key.setdefault((p.scale, p.pcm_format), []).append(p)
+            for (scale, fmt), group in by_key.items():
                 try:
                     with self.lock:
                         results = self.synth.synthesize_batch(
-                            [p.text for p in group], scale)
+                            [p.text for p in group], scale, pcm_format=fmt)
                     self.batches_run += 1
                     self.requests_served += len(group)
                     for p, r in zip(group, results):

@@ -7,7 +7,12 @@ surface is the one-shot scripts/synthesize.py CLI). Stdlib-only
 
   GET  /healthz            → {"status": "ok", device, backend, params}
   POST /synthesize         → audio/wav bytes
-        body: {"text": str, "duration_scale": float = 1.0}
+        body: {"text": str, "duration_scale": float = 1.0,
+               "format": "pcm16"|"mulaw"}
+        "mulaw" ships G.711 μ-law WAV (format tag 7): half the bytes per
+        sample, companded ON DEVICE so the device→host link — the
+        serving bottleneck (DESIGN.md §3) — carries half the traffic.
+        Every route below honors the same "format" field.
   POST /synthesize_batch   → {"results": [{"audio_b64": wav-bytes-b64,
         body: {"texts": [str], ...}    "seconds": float}, ...]}
   POST /reload             → zero-downtime checkpoint rollout: swaps the
@@ -72,6 +77,47 @@ def wav_stream_header(sample_rate: int) -> bytes:
             + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
                           sample_rate * 2, 2, 16)
             + b"data" + struct.pack("<I", unknown))
+
+
+def wav_bytes_mulaw(data: bytes | bytearray, sample_rate: int,
+                    n_samples=None) -> bytes:
+    """G.711 μ-law mono WAV (format tag 7). Non-PCM WAV needs the
+    18-byte fmt variant (cbSize=0) plus a fact chunk with the sample
+    count; stdlib ``wave`` is PCM-only, so this is hand-rolled."""
+    import struct
+
+    data = bytes(data)
+    if n_samples is None:
+        n_samples = len(data)
+    body = (b"WAVEfmt "
+            + struct.pack("<IHHIIHHH", 18, 7, 1, sample_rate,
+                          sample_rate, 1, 8, 0)
+            + b"fact" + struct.pack("<II", 4, n_samples)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_stream_header_mulaw(sample_rate: int) -> bytes:
+    """μ-law streaming WAV header (unknown lengths, as wav_stream_header)."""
+    import struct
+
+    unknown = 0xFFFFFFFF
+    return (b"RIFF" + struct.pack("<I", unknown) + b"WAVEfmt "
+            + struct.pack("<IHHIIHHH", 18, 7, 1, sample_rate,
+                          sample_rate, 1, 8, 0)
+            + b"fact" + struct.pack("<II", 4, unknown)
+            + b"data" + struct.pack("<I", unknown))
+
+
+def _mulaw_bytes_of(r) -> bytes:
+    """μ-law payload of a synthesis result: device-companded bytes when
+    the mulaw graph produced them, host table-encode otherwise (the
+    long-form path assembles float audio on the host)."""
+    if "audio_mulaw" in r:
+        return r["audio_mulaw"].tobytes()
+    from m2tts_tpu.ops.audio_codec import mulaw_encode_np
+
+    return mulaw_encode_np(r["audio_pcm"]).tobytes()
 
 
 def make_handler(synth, info, stream_chunk_frames: int = 64,
@@ -179,6 +225,13 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                 except (TypeError, ValueError):
                     self._json(400, {"error": "'duration_scale' must be a number"})
                     return
+                fmt = req.get("format", "pcm16")
+                if fmt not in ("pcm16", "mulaw"):
+                    self._json(400, {"error": "'format' must be 'pcm16' or "
+                                              "'mulaw'"})
+                    return
+                mulaw = fmt == "mulaw"
+                pcm_format = "mulaw" if mulaw else "int16"
                 if self.path == "/synthesize":
                     text = req.get("text")
                     if not text or not isinstance(text, str):
@@ -189,11 +242,16 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         with lock:  # needs chunking, not batching
                             r = synth.synthesize_long(text, scale)
                     elif batcher is not None:
-                        r = batcher.submit(text, scale)
+                        r = batcher.submit(text, scale,
+                                           pcm_format=pcm_format)
                     else:
                         with lock:
-                            r = synth.synthesize_batch([text], scale)[0]
-                    body = wav_bytes(r["audio_pcm"], synth.sample_rate)
+                            r = synth.synthesize_batch(
+                                [text], scale, pcm_format=pcm_format)[0]
+                    body = (wav_bytes_mulaw(_mulaw_bytes_of(r),
+                                            synth.sample_rate) if mulaw
+                            else wav_bytes(r["audio_pcm"],
+                                           synth.sample_rate))
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Content-Length", str(len(body)))
@@ -257,13 +315,22 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                     # fall through to the outer _json(500), which would
                     # append a second HTTP response to this connection.
                     try:
-                        write_chunk(wav_stream_header(synth.sample_rate))
+                        write_chunk(wav_stream_header_mulaw(synth.sample_rate)
+                                    if mulaw
+                                    else wav_stream_header(synth.sample_rate))
+                        if mulaw:
+                            from m2tts_tpu.ops.audio_codec import \
+                                mulaw_encode_np
                         while True:
                             kind, payload = chunk_q.get()
                             if kind == "chunk":
                                 pcm = (np.clip(payload, -1.0, 1.0)
                                        * 32767.0).astype(np.int16)
-                                write_chunk(pcm.tobytes())
+                                # host table-encode per chunk: the stream
+                                # graphs emit float windows, and halving
+                                # the HTTP bytes still matters to clients
+                                write_chunk(mulaw_encode_np(pcm).tobytes()
+                                            if mulaw else pcm.tobytes())
                             elif kind == "error":
                                 print(f"stream synthesis failed: {payload!r}",
                                       flush=True)
@@ -320,11 +387,20 @@ def make_handler(synth, info, stream_chunk_frames: int = 64,
                         # /synthesize route already guards this)
                         results = (synth.synthesize_batch_long(texts, scale)
                                    if over
-                                   else synth.synthesize_batch(texts, scale))
-                    out = [{"audio_b64": base64.b64encode(
-                                wav_bytes(r["audio_pcm"],
-                                          synth.sample_rate)).decode(),
-                            "seconds": len(r["audio_pcm"]) / synth.sample_rate}
+                                   else synth.synthesize_batch(
+                                       texts, scale, pcm_format=pcm_format))
+
+                    def _wav(r):
+                        if mulaw:
+                            return wav_bytes_mulaw(_mulaw_bytes_of(r),
+                                                   synth.sample_rate)
+                        return wav_bytes(r["audio_pcm"], synth.sample_rate)
+
+                    out = [{"audio_b64": base64.b64encode(_wav(r)).decode(),
+                            "seconds": (len(r["audio_pcm"])
+                                        if "audio_pcm" in r
+                                        else len(r["audio_mulaw"]))
+                                       / synth.sample_rate}
                            for r in results]
                     self._json(200, {"results": out})
                 else:

@@ -189,3 +189,34 @@ def test_serve_route_uses_batcher(synth):
             assert status == 200 and body[:4] == b"RIFF"
     finally:
         server.shutdown()
+
+
+def test_mixed_pcm_formats_group_separately(synth):
+    """Concurrent mulaw and int16 submissions must split into their own
+    dispatches (different compiled-graph families) and each caller must
+    get its own format back."""
+    from m2tts_tpu.ops.audio_codec import mulaw_encode_np
+
+    b = DynamicBatcher(synth, max_wait_ms=120.0)
+    try:
+        results = {}
+
+        def call(i, fmt):
+            results[(i, fmt)] = b.submit(TEXTS[i], 1.0, timeout=120,
+                                         pcm_format=fmt)
+
+        threads = [threading.Thread(target=call, args=(i, fmt))
+                   for i in range(2) for fmt in ("int16", "mulaw")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        for i in range(2):
+            r16 = results[(i, "int16")]
+            rmu = results[(i, "mulaw")]
+            assert "audio_mulaw" not in r16
+            assert rmu["audio_mulaw"].dtype == np.uint8
+            np.testing.assert_array_equal(
+                rmu["audio_mulaw"], mulaw_encode_np(r16["audio_pcm"]))
+    finally:
+        b.close()

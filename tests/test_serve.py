@@ -223,3 +223,77 @@ def test_stream_midstream_error_terminates_body(serve_synth, monkeypatch):
         assert status2 == 200 and body2[:4] == b"RIFF"
     finally:
         server.shutdown()
+
+
+def _parse_mulaw_wav(body: bytes):
+    """Parse the hand-rolled G.711 WAV (stdlib wave is PCM-only):
+    returns (sample_rate, mulaw_payload_bytes)."""
+    import struct
+
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert body[12:16] == b"fmt " and struct.unpack("<I", body[16:20])[0] == 18
+    tag, ch, sr, br, ba, bits, cb = struct.unpack("<HHIIHHH", body[20:38])
+    assert (tag, ch, bits) == (7, 1, 8)   # WAVE_FORMAT_MULAW, mono, 8-bit
+    assert (br, ba, cb) == (sr, 1, 0)
+    assert body[38:42] == b"fact"
+    assert body[50:54] == b"data"
+    n = struct.unpack("<I", body[54:58])[0]
+    data = body[58:]
+    return sr, (data[:n] if n != 0xFFFFFFFF else data)
+
+
+def test_synthesize_mulaw_wav(server_url):
+    import numpy as np
+
+    from m2tts_tpu.ops.audio_codec import mulaw_decode_np
+
+    s16, _, body16 = _post(server_url + "/synthesize", {"text": "mu law"})
+    smu, _, bodymu = _post(server_url + "/synthesize",
+                           {"text": "mu law", "format": "mulaw"})
+    assert s16 == 200 and smu == 200
+    sr, payload = _parse_mulaw_wav(bodymu)
+    assert sr == 22050
+    pcm16 = np.frombuffer(body16[44:], "<i2")
+    assert len(payload) == len(pcm16)  # 1 byte/sample vs 2: half the WAV
+    dec = mulaw_decode_np(np.frombuffer(payload, np.uint8))
+    err = dec.astype(np.int32) - pcm16.astype(np.int32)
+    assert np.abs(err).max() <= 1024  # companding quantization bound
+
+
+def test_synthesize_batch_mulaw(server_url):
+    status, _, body = _post(server_url + "/synthesize_batch",
+                            {"texts": ["hello mu law world",
+                                       "two longer text here"],
+                             "format": "mulaw"})
+    assert status == 200
+    results = json.loads(body)["results"]
+    assert any(r["seconds"] > 0 for r in results)
+    for r in results:
+        wav = base64.b64decode(r["audio_b64"])
+        sr, payload = _parse_mulaw_wav(wav)
+        assert sr == 22050
+        assert r["seconds"] == pytest.approx(len(payload) / 22050)
+
+
+def test_stream_mulaw_matches_pcm_stream(server_url):
+    import numpy as np
+
+    from m2tts_tpu.ops.audio_codec import MULAW_DECODE_TABLE
+
+    body16 = _post(server_url + "/synthesize_stream",
+                   {"text": "stream mu"})[2]
+    bodymu = _post(server_url + "/synthesize_stream",
+                   {"text": "stream mu", "format": "mulaw"})[2]
+    sr, payload = _parse_mulaw_wav(bodymu)
+    pcm16 = np.frombuffer(body16[44:], "<i2")
+    assert len(payload) == len(pcm16)
+    dec = MULAW_DECODE_TABLE[np.frombuffer(payload, np.uint8)]
+    err = dec.astype(np.int32) - pcm16.astype(np.int32)
+    assert np.abs(err).max() <= 1024
+
+
+def test_bad_format_is_400(server_url):
+    status, _, body = _post(server_url + "/synthesize",
+                            {"text": "x", "format": "opus"})
+    assert status == 400
+    assert "format" in json.loads(body)["error"]
