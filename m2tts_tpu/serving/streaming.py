@@ -107,6 +107,28 @@ class StreamingVocoder:
             return vf(params, mel_window).astype(jnp.float32)
 
         self._run_chunk = jax.jit(run_chunk)
+        # un-jitted chunk body, for callers that fuse it into a larger
+        # graph (StreamingSynthesizer's acoustic+first-chunk dispatch)
+        self._chunk_body = run_chunk
+
+        def run_chunk_at(params, mel, total, ci):
+            """Chunk ``ci`` of a DEVICE-resident padded mel [B, Tmax, C]:
+            the window start is computed in-graph from the true length and
+            sliced with dynamic_slice — no per-chunk host↔device mel
+            traffic (a standalone H2D upload costs ~30 ms on tunneled
+            hosts). ``ci`` is a traced int32 scalar so one compilation
+            serves every chunk position; the host mirrors the same w
+            formula to trim the yielded center."""
+            T = jnp.minimum(total[0].astype(jnp.int32), mel.shape[1])
+            s = ci * self.chunk_frames
+            w = jnp.clip(s - self.halo, 0, T - window)
+            mel_w = jax.lax.dynamic_slice_in_dim(mel, w, window, axis=1)
+            return run_chunk(params, mel_w)
+
+        self._run_chunk_at = jax.jit(run_chunk_at)
+        # tiny reusable device scalars for chunk indices (a fresh python
+        # int argument would be one standalone H2D transfer per chunk)
+        self._ci_cache: dict = {}
         # short-utterance path: one JITTED full-graph call (compiled per
         # length, cached). An eager apply here would dispatch op-by-op —
         # ~30 ms per dispatch on tunneled hosts — and the StreamBatcher
@@ -148,6 +170,46 @@ class StreamingVocoder:
                                                jnp.asarray(window)))[0]
             off = (s - w) * U
             yield audio[off: off + (e - s) * U]
+
+    def _ci(self, ci: int) -> jnp.ndarray:
+        arr = self._ci_cache.get(ci)
+        if arr is None:
+            arr = jnp.asarray(ci, jnp.int32)
+            if len(self._ci_cache) < 4096:
+                self._ci_cache[ci] = arr
+        return arr
+
+    def stream_device(self, mel, total, total_frames: int,
+                      start_chunk: int = 0) -> Iterator[np.ndarray]:
+        """``stream()`` for a DEVICE-resident padded mel [1, Tmax, C]
+        (``total`` is the device [B] frame-count array from the acoustic
+        graph; ``total_frames`` its already-fetched host value).
+
+        Two link-traffic differences from ``stream()``: windows are
+        sliced on device (zero per-chunk H2D), and chunk i+1 is
+        dispatched before chunk i's audio is fetched, overlapping device
+        compute with the D2H copy. Yields identical values (same
+        compiled chunk body on the same window values)."""
+        T = int(total_frames)
+        U, W, cf = self.upsample, self._window, self.chunk_frames
+        if T <= W:
+            # boundary-exact short path needs the true-length host mel
+            yield from self.stream(np.asarray(mel[0]), T)
+            return
+        n_chunks = -(-T // cf)
+        pending = None  # (device audio, center offset, center samples)
+        for ci in range(start_chunk, n_chunks):
+            s = ci * cf
+            e = min(s + cf, T)
+            w = min(max(s - self.halo, 0), T - W)  # mirrors run_chunk_at
+            out = self._run_chunk_at(self.params, mel, total, self._ci(ci))
+            if pending is not None:
+                a, off, n = pending
+                yield np.asarray(a)[0, off: off + n]
+            pending = (out, (s - w) * U, (e - s) * U)
+        if pending is not None:
+            a, off, n = pending
+            yield np.asarray(a)[0, off: off + n]
 
     def synthesize(self, mel: np.ndarray,
                    total_frames: Optional[int] = None) -> np.ndarray:
@@ -205,6 +267,40 @@ class StreamingSynthesizer:
 
         self._acoustic = jax.jit(acoustic)
 
+        # Fused acoustic + first-chunk dispatch: the first audio chunk's
+        # window is always mel[0:W] (the chunk-0 window start is 0
+        # whenever total > W), so it can be vocoded INSIDE the acoustic
+        # graph — first-chunk latency drops from (acoustic dispatch +
+        # blocking total fetch + full-mel D2H + window H2D + chunk
+        # dispatch + audio D2H) to ONE dispatch + ONE combined fetch.
+        # On tunneled/PCIe hosts each eliminated blocking round trip is
+        # ~30 ms (DESIGN.md §3). The mel stays device-resident for the
+        # remaining chunks (StreamingVocoder.stream_device).
+        W = self.vocoder._window
+        cf = self.vocoder.chunk_frames
+        U = self.vocoder.upsample
+        chunk_body = self.vocoder._chunk_body
+
+        def acoustic_first(params, ids, lengths, scale):
+            mel, total = acoustic(params, ids, lengths, scale)
+            audio0 = chunk_body(params, mel[:, :W])
+            # only the chunk-0 center crosses the link (frames > W ≥ cf
+            # on this path, so the center is always the full cf frames)
+            return mel, total, audio0[:, : cf * U]
+
+        self._acoustic_first = (jax.jit(acoustic_first)
+                                if max_frames >= W else None)
+        self._scale_cache: dict = {}
+
+    def _scale_arr(self, duration_scale) -> jnp.ndarray:
+        key = float(duration_scale)
+        arr = self._scale_cache.get(key)
+        if arr is None:
+            arr = jnp.asarray(key, jnp.float32)
+            if len(self._scale_cache) < 256:
+                self._scale_cache[key] = arr
+        return arr
+
     def split_long(self, text: str) -> list:
         """Over-budget texts sentence-split to the phoneme budget (same
         splitter as Synthesizer.synthesize_long); under-budget texts pass
@@ -236,9 +332,27 @@ class StreamingSynthesizer:
     def _stream_one(self, text: str, duration_scale: float
                     ) -> Iterator[np.ndarray]:
         enc = self.text_processor.batch([text], self.text_bucket)
-        mel, total = self._acoustic(
-            self.params, jnp.asarray(enc["phoneme_ids"]),
-            jnp.asarray(enc["lengths"]),
-            jnp.asarray(duration_scale, jnp.float32))
-        frames = int(min(int(total[0]), self.max_frames))
-        yield from self.vocoder.stream(np.asarray(mel[0]), frames)
+        ids = jnp.asarray(enc["phoneme_ids"])
+        lens = jnp.asarray(enc["lengths"])
+        scale = self._scale_arr(duration_scale)
+        if self._acoustic_first is None:  # max_frames < one chunk window
+            mel, total = self._acoustic(self.params, ids, lens, scale)
+            frames = int(min(int(total[0]), self.max_frames))
+            yield from self.vocoder.stream(np.asarray(mel[0]), frames)
+            return
+        mel, total, audio0 = self._acoustic_first(self.params, ids, lens,
+                                                  scale)
+        host = jax.device_get({"total": total, "audio0": audio0})
+        frames = int(min(int(host["total"][0]), self.max_frames))
+        W = self.vocoder._window
+        cf = self.vocoder.chunk_frames
+        if frames <= W:
+            # short utterance: chunk 0's fixed [0:W] window would read
+            # past the true length; the boundary-exact single full-graph
+            # call is the correct (and cheap) path
+            yield from self.vocoder.stream(np.asarray(mel[0]), frames)
+            return
+        yield host["audio0"][0]
+        if frames > cf:
+            yield from self.vocoder.stream_device(mel, total, frames,
+                                                  start_chunk=1)
