@@ -131,6 +131,22 @@ class Stage2Trainer:
         self.model = build_model(config.get("model", Config()))
         self.discriminator = MultiScaleDiscriminator(
             spectral_norm=bool(tcfg.get("discriminator_spectral_norm", False)))
+        # 'packed' re-lowers the strided grouped convs as phase-packed
+        # stride-1 convs (models/discriminator.py) — numerically exact,
+        # measured 1.26x on the gradient chains that dominate the GAN
+        # step (scripts/bench_disc_packed.py: fwd+bwd 10.6 vs 13.4 ms,
+        # fwd+xgrad 8.6 vs 9.7 at batch 32 x 8192 bf16 on v5e; it LOSES
+        # pure forward 5.4 vs 4.2, but every disc apply in the fused
+        # step sits inside a gradient). 'auto' = packed on TPU; spectral
+        # norm keeps the native apply (its param tree is SN-wrapped).
+        disc_lowering = str(tcfg.get("disc_lowering", "auto"))
+        if disc_lowering not in ("auto", "native", "packed"):
+            raise ValueError(f"Unknown disc_lowering {disc_lowering!r}")
+        if disc_lowering == "auto":
+            disc_lowering = ("packed" if jax.default_backend() == "tpu"
+                             else "native")
+        self.disc_lowering = ("native" if self.discriminator.spectral_norm
+                              else disc_lowering)
         self.upsample = 1
         for r in self.model.upsample_rates:
             self.upsample *= r
@@ -343,8 +359,16 @@ class Stage2Trainer:
         bf16. Gradients flow through the casts (f32 grads out)."""
         if self.bf16:
             audio = audio.astype(jnp.bfloat16)
-        logits, feats = self.discriminator.apply(
-            {"params": self._cast(d_params)}, audio)
+        if self.disc_lowering == "packed":
+            from m2tts_tpu.models.discriminator import \
+                packed_multiscale_apply
+
+            logits, feats = packed_multiscale_apply(
+                self._cast(d_params), audio,
+                scales=self.discriminator.scales)
+        else:
+            logits, feats = self.discriminator.apply(
+                {"params": self._cast(d_params)}, audio)
         return ([l.astype(jnp.float32) for l in logits],
                 [[f.astype(jnp.float32) for f in fs] for fs in feats])
 

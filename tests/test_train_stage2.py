@@ -344,3 +344,38 @@ def test_stage2_blowup_recovery_bounded(tmp_path, dummy_ds):
     with pytest.raises(RuntimeError, match="non-finite"):
         trainer._recover_after_blowup()
     trainer.close()
+
+
+def test_disc_lowering_packed_equals_native(tmp_path, dummy_ds):
+    """The phase-packed discriminator lowering must be a drop-in for the
+    native apply inside the trainer: same logits/features on the same
+    params (the step-level exactness then follows from the gradient
+    equivalence asserted in test_disc_packed.py)."""
+    import jax.numpy as jnp
+
+    cfg = stage2_config(tmp_path, disc_lowering="packed")
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    assert tr.disc_lowering == "packed"  # explicit config wins off-TPU
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 512, 1)), jnp.float32)
+    lp, fp = tr._disc_apply(tr.d_state.params, audio)
+    tr.disc_lowering = "native"
+    ln, fn = tr._disc_apply(tr.d_state.params, audio)
+    for a, b in zip(ln, lp):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    for fa, fb in zip(fn, fp):
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_disc_lowering_bad_value_rejected(tmp_path, dummy_ds):
+    with pytest.raises(ValueError, match="disc_lowering"):
+        Stage2Trainer(stage2_config(tmp_path, disc_lowering="magic"),
+                      dataset=dummy_ds)
+
+
+def test_disc_lowering_spectral_norm_forces_native(tmp_path, dummy_ds):
+    cfg = stage2_config(tmp_path, disc_lowering="packed",
+                        discriminator_spectral_norm=True)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    assert tr.disc_lowering == "native"
