@@ -174,6 +174,29 @@ def main() -> None:
 
     results["stft_plus_perceptual_loss"] = _bench(stft_losses, d_params, steps=args.steps, name="stft_losses")
 
+    def stft_losses_bwd(d):
+        def loss(pred):
+            l1 = L.multi_resolution_stft_loss(pred, audio_seg)
+            l2 = L.perceptual_loss(pred, audio_seg, n_mels=trainer.n_mels)
+            return l1 + l2
+        pred = noise + _carry_eps(d)
+        _, g = jax.value_and_grad(loss)(pred)
+        return _fold(d, jnp.sum(g))
+
+    results["stft_plus_perceptual_fwd_bwd"] = _bench(
+        stft_losses_bwd, d_params, steps=args.steps, name="stft_losses_bwd")
+
+    def generator_fwd_bwd(g):
+        def loss(gp):
+            _, _, audio_pred = trainer._acoustic_and_segment(
+                gp, trainer._upcast(dbatch), rng, True)
+            return jnp.sum(audio_pred ** 2)
+        _, grads = jax.value_and_grad(loss)(g)
+        return grads
+
+    results["acoustic_plus_vocoder_fwd_bwd"] = _bench(
+        generator_fwd_bwd, g_params, steps=args.steps, name="generator_fwd_bwd")
+
     results["batch_size"] = bs
     results["bucket"] = list(bucket)
     results["seg_samples"] = trainer.seg_frames * trainer.upsample
