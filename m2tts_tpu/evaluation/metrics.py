@@ -185,13 +185,13 @@ class TTSEvaluator:
         pred_mels = np.asarray(pred_mels)
         target_mels = np.asarray(target_mels)
         all_metrics: List[Dict[str, float]] = []
-        n = pred_mels.shape[0] if n_valid is None else min(
+        n_rows = pred_mels.shape[0] if n_valid is None else min(
             int(n_valid), pred_mels.shape[0])
-        for i in range(n):
+        for i in range(n_rows):
             pm, tm = pred_mels[i], target_mels[i]
             if mel_lengths is not None:
-                n = int(mel_lengths[i])
-                pm, tm = pm[:n], tm[:n]
+                L = int(mel_lengths[i])
+                pm, tm = pm[:L], tm[:L]
             all_metrics.append(self.evaluate_sample(
                 pm, tm,
                 None if pred_audios is None else pred_audios[i],

@@ -669,12 +669,17 @@ class Synthesizer:
                 pieces.append(r["audio"])
             audio = (np.concatenate(pieces) if pieces
                      else np.zeros(0, np.float32))
-            out.append({
+            res = {
                 "audio": audio,
                 "audio_pcm": (np.clip(audio, -1, 1) * 32767).astype(np.int16),
                 "chunks": chunks,
                 "frames": int(sum(r["frames"] for r in rs)),
-            })
+            }
+            # a chunk that still out-predicted the frame bucket was cut
+            # off mid-sentence — the reassembled result must not hide it
+            if any(r.get("truncated") for r in rs):
+                res["truncated"] = True
+            out.append(res)
         return out
 
     def reachable_shapes(self, full: bool = True):

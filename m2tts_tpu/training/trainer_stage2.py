@@ -124,6 +124,18 @@ class Stage2Trainer:
             spectral_weight=float(tcfg.get("spectral_loss_weight", 1.0)),
             perceptual_weight=float(tcfg.get("perceptual_loss_weight", 0.5)),
         )
+        # Adversarial warmup: stage-2 inherits an UNTRAINED vocoder from
+        # stage-1 (stage-1's loss is mel+duration only), so for the first
+        # few hundred steps the "fake" audio is noise and the adversarial/
+        # feature-matching gradients push the vocoder toward whatever
+        # fools an equally-raw discriminator instead of toward speech.
+        # Ramp the adv+FM weights linearly 0→1 over this many steps so
+        # the reconstruction losses (spectral/perceptual/mel) shape the
+        # vocoder first — standard GAN-vocoder practice the reference
+        # lacks (its stage 2 applies full adversarial weight from step 0,
+        # reference training/train_stage2.py:248-270; both r03 drives
+        # showed STOI degrading under that schedule, VERDICT r3 weak #1).
+        self.adv_warmup = int(tcfg.get("adversarial_warmup_steps", 0))
 
         self.mesh = mesh or make_mesh(
             int(config.get("system.mesh.data", -1)),
@@ -268,6 +280,15 @@ class Stage2Trainer:
         # quality validation (evaluator sweep + eval-text MOS) and periodic
         # sample generation, both reference behaviors (train_stage2.py)
         self.validate_quality = bool(tcfg.get("validate_quality", True))
+        # Audio-domain gate term (VERDICT r3 missing #1): weight on
+        # (1 - full-utterance teacher-forced STOI) added to the mel
+        # composite. Both r03 drives improved the mel gate while STOI
+        # regressed — a gate with no audio term cannot see that. 0
+        # restores the r03 mel-only composite. The STOI/LSD pass runs
+        # over `training.quality_utterances` full utterances through
+        # acoustic+vocoder (evaluation/metrics.benchmark_audio_quality).
+        self.gate_stoi_weight = float(tcfg.get("gate_stoi_weight", 4.0))
+        self.quality_utterances = int(tcfg.get("quality_utterances", 16))
         self.generate_samples_every = int(config.get(
             "system.generate_samples_every", 0))
         self._sample_validator = None
@@ -442,20 +463,41 @@ class Stage2Trainer:
                     sample_rate=self._effective_sample_rate(),
                     n_mels=self.n_mels),
             }
-            # Single batched apply over [fake; real] (exact — per-sample
-            # discriminator); the real half carries no generator gradient,
-            # so only the fake half contributes to the backward.
-            B = audio_pred.shape[0]
-            logits, feats = self._disc_apply(
-                d_params,
-                jnp.concatenate([audio_pred, batch["audio_seg"]], axis=0))
-            fake_logits = [l[:B] for l in logits]
-            fake_feats = [[f[:B] for f in fs] for fs in feats]
-            real_feats = [[f[B:] for f in fs] for fs in feats]
+            # Fake and real halves as SEPARATE applies (exact — the
+            # discriminator is per-sample): only the fake half needs the
+            # backward (adv + FM gradients flow into audio_pred), while
+            # the real half is pure data → its features are constants wrt
+            # g_params and need FORWARD only. The r03 [fake; real]
+            # concat-batched apply paid the disc input-gradient chain
+            # over 2B where B is dead — the concat makes the whole
+            # activation g_params-dependent, so XLA cannot DCE the real
+            # half out of the backward convs. Measured (v5e, (128,512)
+            # ×32, scripts/bench_gan_step.py): fused step 40.3 → 37.7 ms,
+            # g_step 27.9 → 21.9. (The D step KEEPS its [real; fake]
+            # batched apply — there both halves need weight gradients, so
+            # batching is a pure win; docs/DESIGN.md §2b.)
+            fake_logits, fake_feats = self._disc_apply(d_params, audio_pred)
+            _, real_feats = self._disc_apply(
+                d_params, jax.lax.stop_gradient(batch["audio_seg"]))
             losses["generator_loss"] = L.lsgan_generator_loss(fake_logits)
             losses["feature_matching_loss"] = L.feature_matching_loss(
                 real_feats, fake_feats)
-            total = L.combined_generator_loss(losses, **self.weights)
+            weights = self.weights
+            if self.adv_warmup > 0:
+                # linear 0→1 ramp on the adversarial + FM weights over the
+                # first adv_warmup optimizer steps (traced from the train
+                # state's own step counter, so resume/warm-start keep the
+                # schedule consistent). Logged losses stay un-ramped; only
+                # the total is scheduled.
+                ramp = jnp.clip(
+                    g_state.step.astype(jnp.float32) / self.adv_warmup,
+                    0.0, 1.0)
+                weights = dict(weights)
+                weights["adversarial_weight"] = (
+                    weights["adversarial_weight"] * ramp)
+                weights["feature_matching_weight"] = (
+                    weights["feature_matching_weight"] * ramp)
+            total = L.combined_generator_loss(losses, **weights)
             losses["total_loss"] = total
             return total, losses
 
@@ -799,14 +841,28 @@ class Stage2Trainer:
                                     + out.get("spectral_convergence", 0.0))
         if self.validate_quality:
             out.update(self._quality_metrics(n_batches))
+            # Audio-domain gate composite (VERDICT r3 missing #1): the
+            # mel composite plus a full-utterance intelligibility term.
+            # (1 - STOI) so lower is better, like the other gate terms.
+            if (self.gate_stoi_weight > 0 and "utt_stoi" in out
+                    and "quality_score" in out):
+                out["quality_score_audio"] = (
+                    out["quality_score"]
+                    + self.gate_stoi_weight * (1.0 - out["utt_stoi"]))
         return out
 
     def _quality_metrics(self, n_batches: int) -> Dict[str, float]:
         """Evaluator sweep + eval-text MOS (the reference's
-        benchmark_model_performance + estimate_mos_score validation)."""
-        from m2tts_tpu.evaluation.metrics import benchmark_model_performance
+        benchmark_model_performance + estimate_mos_score validation),
+        plus full-utterance teacher-forced audio metrics (STOI, LSD,
+        spectral convergence) through the complete acoustic+vocoder
+        stack — prefixed ``utt_`` to keep them distinct from the
+        segment-level metrics validate() computes."""
+        from m2tts_tpu.evaluation.metrics import (benchmark_audio_quality,
+                                                  benchmark_model_performance)
 
         out: Dict[str, float] = {}
+        sr = int(self.config.get("data.sample_rate", 22050))
         try:
             batches = make_batches(self.dataset, self.batch_size,
                                    self.buckets, seed=0, shuffle=False,
@@ -814,10 +870,26 @@ class Stage2Trainer:
             out.update(benchmark_model_performance(
                 self.model, {"params": self.g_state.params}, batches,
                 num_samples=self.batch_size * n_batches,
-                sample_rate=int(self.config.get("data.sample_rate", 22050)),
-                _fn_cache=self._bm_cache))
+                sample_rate=sr, _fn_cache=self._bm_cache))
         except Exception as e:  # pragma: no cover - resilience path
             logger.warning("benchmark_model_performance failed: %s", e)
+        try:
+            batches = make_batches(self.dataset, self.batch_size,
+                                   self.buckets, seed=0, shuffle=False,
+                                   drop_last=False,
+                                   audio_samples=self._max_audio_samples())
+            aq = benchmark_audio_quality(
+                self.model, {"params": self.g_state.params}, batches,
+                num_samples=self.quality_utterances, sample_rate=sr,
+                hop_length=self.hop, _fn_cache=self._bm_cache)
+            out.update({
+                "utt_stoi": aq.get("stoi"),
+                "utt_lsd": aq.get("log_spectral_distance"),
+                "utt_spectral_convergence": aq.get("spectral_convergence"),
+            })
+            out = {k: v for k, v in out.items() if v is not None}
+        except Exception as e:  # pragma: no cover - resilience path
+            logger.warning("benchmark_audio_quality failed: %s", e)
         out.update(self.sample_validator.run(
             {"params": self.g_state.params}, self.step))
         return out
@@ -832,8 +904,18 @@ class Stage2Trainer:
         return self._sample_validator
 
     def _gate_metric_name(self) -> str:
-        """Which validate() key drives early stopping / best pinning."""
-        return "quality_score" if self.validate_quality else "mel_loss"
+        """Which validate() key drives early stopping / best pinning.
+
+        With the quality pass on and ``training.gate_stoi_weight`` > 0
+        the gate is the audio composite (mel composite + weighted
+        1-STOI); a validation whose audio pass failed simply skips the
+        gate for that round (score None — validate()'s caller already
+        handles absence) rather than silently comparing a different
+        metric."""
+        if not self.validate_quality:
+            return "mel_loss"
+        return ("quality_score_audio" if self.gate_stoi_weight > 0
+                else "quality_score")
 
     def save_checkpoint(self) -> None:
         if self.step == 0:

@@ -379,3 +379,59 @@ def test_disc_lowering_spectral_norm_forces_native(tmp_path, dummy_ds):
                         discriminator_spectral_norm=True)
     tr = Stage2Trainer(cfg, dataset=dummy_ds)
     assert tr.disc_lowering == "native"
+
+
+def test_adversarial_warmup_ramp(tmp_path, dummy_ds):
+    """With training.adversarial_warmup_steps set, the generator total at
+    step 0 carries ZERO adversarial/FM weight (ramp = step/warmup = 0):
+    total == mel + 0.1*dur + spectral + 0.5*perceptual exactly, while the
+    adv/FM component losses are still logged un-ramped."""
+    cfg = stage2_config(tmp_path, adversarial_warmup_steps=100)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    assert tr.adv_warmup == 100
+    from m2tts_tpu.data.dataset import data_iterator
+
+    it = data_iterator(dummy_ds, 8, tr.buckets, seed=0,
+                       audio_samples=tr._max_audio_samples())
+    m = {k: float(v) for k, v in tr.train_step(next(it)).items()}
+    expect = (m["mel_loss"] + 0.1 * m["duration_loss"]
+              + m["spectral_loss"] + 0.5 * m["perceptual_loss"])
+    assert m["total_loss"] == pytest.approx(expect, rel=1e-5)
+    assert m["generator_loss"] > 0 and m["feature_matching_loss"] > 0
+    # a no-warmup trainer on the same data must include the adv terms
+    tr2 = Stage2Trainer(stage2_config(tmp_path / "nw"), dataset=dummy_ds)
+    it2 = data_iterator(dummy_ds, 8, tr2.buckets, seed=0,
+                        audio_samples=tr2._max_audio_samples())
+    m2 = {k: float(v) for k, v in tr2.train_step(next(it2)).items()}
+    expect2 = (m2["mel_loss"] + 0.1 * m2["duration_loss"]
+               + m2["spectral_loss"] + 0.5 * m2["perceptual_loss"]
+               + 0.25 * m2["generator_loss"]
+               + 2.0 * m2["feature_matching_loss"])
+    assert m2["total_loss"] == pytest.approx(expect2, rel=1e-5)
+    tr.close()
+    tr2.close()
+
+
+def test_audio_domain_gate(tmp_path, dummy_ds):
+    """validate() with the quality pass on reports full-utterance STOI/LSD
+    (utt_*) and gates on quality_score_audio = quality_score +
+    gate_stoi_weight * (1 - utt_stoi); weight 0 restores the mel-only
+    gate (VERDICT r3 missing #1)."""
+    cfg = stage2_config(tmp_path, max_steps=1, gate_stoi_weight=4.0,
+                        quality_utterances=4)
+    cfg.set("system.eval_texts", ["Hello."])
+    cfg.set("system.eval_text_bucket", 16)
+    cfg.set("system.eval_frame_bucket", 64)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    assert tr._gate_metric_name() == "quality_score_audio"
+    v = tr.validate(n_batches=1)
+    assert "utt_stoi" in v and 0.0 <= v["utt_stoi"] <= 1.0
+    assert "utt_lsd" in v and np.isfinite(v["utt_lsd"])
+    assert v["quality_score_audio"] == pytest.approx(
+        v["quality_score"] + 4.0 * (1.0 - v["utt_stoi"]), rel=1e-6)
+    tr.close()
+
+    cfg0 = stage2_config(tmp_path / "w0", max_steps=1, gate_stoi_weight=0)
+    tr0 = Stage2Trainer(cfg0, dataset=dummy_ds)
+    assert tr0._gate_metric_name() == "quality_score"
+    tr0.close()
