@@ -97,6 +97,41 @@ def perceptual_loss(pred: Array, target: Array, sample_rate: int = 22050,
     return jnp.abs(fp - ft).mean()
 
 
+def envelope_correlation_loss(pred: Array, target: Array,
+                              sample_rate: int = 22050, n_fft: int = 512,
+                              hop_length: int = 128,
+                              n_bands: int = 16) -> Array:
+    """1 − mean Pearson correlation of per-band short-time energy
+    envelopes — the quantity STOI measures (Taal et al. 2011), as a
+    differentiable training loss.
+
+    The r04 ablation (artifacts/evidence_r04/sweep_summary.md) showed
+    full-utterance STOI *degrading* under the reference's loss surface
+    even with the adversary off: magnitude L1 + log-mel L1 are envelope-
+    blind, so the vocoder trades band-envelope coherence for per-bin
+    accuracy. This term puts the envelope correlation itself into the
+    objective. Beyond-reference (the reference has no envelope-domain
+    loss; reference src/training/losses.py).
+
+    pred/target: [B, T] waveforms. Envelopes are √(mel-band energy) over
+    an n_fft/hop STFT (mel bands approximate STOI's third-octave bands);
+    correlation is over the full segment per band, averaged.
+    """
+    from m2tts_tpu.frontend.audio import mel_filterbank
+
+    basis = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_bands))
+    def env(x):
+        mag2 = stft(x, n_fft, hop_length)
+        mag2 = (mag2.real ** 2 + mag2.imag ** 2)
+        return jnp.sqrt(jnp.einsum("btf,mf->btm", mag2, basis) + 1e-8)
+    ep, et = env(pred), env(target)  # [B, T', M]
+    ep = ep - ep.mean(axis=1, keepdims=True)
+    et = et - et.mean(axis=1, keepdims=True)
+    num = (ep * et).sum(axis=1)
+    den = (jnp.linalg.norm(ep, axis=1) * jnp.linalg.norm(et, axis=1) + 1e-8)
+    return 1.0 - (num / den).mean()
+
+
 # ---------------------------------------------------------------------------
 # Stage 2: LSGAN + feature matching (discriminator outputs as inputs)
 # ---------------------------------------------------------------------------
@@ -132,13 +167,16 @@ def combined_generator_loss(losses: Dict[str, Array],
                             adversarial_weight: float = 0.25,
                             feature_matching_weight: float = 2.0,
                             spectral_weight: float = 1.0,
-                            perceptual_weight: float = 0.5) -> Array:
+                            perceptual_weight: float = 0.5,
+                            envelope_weight: float = 0.0) -> Array:
     total = (mel_weight * losses["mel_loss"]
              + duration_weight * losses["duration_loss"])
     if "spectral_loss" in losses:
         total = total + spectral_weight * losses["spectral_loss"]
     if "perceptual_loss" in losses:
         total = total + perceptual_weight * losses["perceptual_loss"]
+    if "envelope_loss" in losses:
+        total = total + envelope_weight * losses["envelope_loss"]
     if "generator_loss" in losses:
         total = total + adversarial_weight * losses["generator_loss"]
     if "feature_matching_loss" in losses:

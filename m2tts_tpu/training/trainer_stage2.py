@@ -123,7 +123,13 @@ class Stage2Trainer:
             feature_matching_weight=float(tcfg.get("feature_matching_weight", 2.0)),
             spectral_weight=float(tcfg.get("spectral_loss_weight", 1.0)),
             perceptual_weight=float(tcfg.get("perceptual_loss_weight", 0.5)),
+            envelope_weight=float(tcfg.get("envelope_loss_weight", 0.0)),
         )
+        # STFT phase-L1 weight inside the multi-resolution spectral loss.
+        # 0.1 is reference parity (reference losses.py:13-56); the phase
+        # angle of near-silent bins is noise, so this term injects
+        # gradient noise in quiet regions — set 0 to drop it.
+        self.stft_phase_weight = float(tcfg.get("stft_phase_weight", 0.1))
         # Adversarial warmup: stage-2 inherits an UNTRAINED vocoder from
         # stage-1 (stage-1's loss is mel+duration only), so for the first
         # few hundred steps the "fake" audio is noise and the adversarial/
@@ -452,7 +458,8 @@ class Stage2Trainer:
                     out["duration_pred"].astype(jnp.float32),
                     batch["durations"]),
                 "spectral_loss": L.multi_resolution_stft_loss(
-                    audio_pred, batch["audio_seg"]),
+                    audio_pred, batch["audio_seg"],
+                    phase_weight=self.stft_phase_weight),
                 "perceptual_loss": L.perceptual_loss(
                     audio_pred, batch["audio_seg"],
                     # the vocoder's effective output rate, not the 22050
@@ -463,6 +470,13 @@ class Stage2Trainer:
                     sample_rate=self._effective_sample_rate(),
                     n_mels=self.n_mels),
             }
+            if self.weights["envelope_weight"] > 0:
+                # STOI-aligned band-envelope correlation (losses.py
+                # envelope_correlation_loss — the r04 fix for STOI
+                # degrading under the envelope-blind reference losses)
+                losses["envelope_loss"] = L.envelope_correlation_loss(
+                    audio_pred, batch["audio_seg"],
+                    sample_rate=self._effective_sample_rate())
             # Fake and real halves as SEPARATE applies (exact — the
             # discriminator is per-sample): only the fake half needs the
             # backward (adv + FM gradients flow into audio_pred), while

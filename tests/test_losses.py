@@ -136,3 +136,37 @@ def test_early_stopping():
     assert not es(0.5)
     assert not es(0.5)   # wait=1
     assert es(0.5)       # wait=2 -> stop
+
+
+def test_envelope_correlation_loss():
+    """0 for identical signals, ~0 for small perturbations, ~1 for
+    uncorrelated noise; finite gradients (the r04 STOI-aligned term)."""
+    import jax
+    import numpy as np
+
+    from m2tts_tpu.training.losses import envelope_correlation_loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    # amplitude-modulate so the envelopes carry real structure
+    t = np.arange(4096, dtype=np.float32)
+    am = jnp.asarray(0.5 + 0.5 * np.sin(2 * np.pi * 7 * t / 4096))
+    x = x * am[None, :]
+    noise = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    assert float(envelope_correlation_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+    near = float(envelope_correlation_loss(x, x + 0.05 * noise))
+    far = float(envelope_correlation_loss(x, noise))
+    assert near < 0.1 < far
+    g = jax.grad(lambda p: envelope_correlation_loss(p, x))(x + 0.1 * noise)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_combined_generator_loss_envelope_term():
+    losses = {"mel_loss": jnp.asarray(1.0), "duration_loss": jnp.asarray(0.0),
+              "envelope_loss": jnp.asarray(0.5)}
+    from m2tts_tpu.training.losses import combined_generator_loss
+
+    base = float(combined_generator_loss(losses))
+    with_env = float(combined_generator_loss(losses, envelope_weight=2.0))
+    assert base == pytest.approx(1.0)
+    assert with_env == pytest.approx(2.0)
