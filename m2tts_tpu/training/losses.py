@@ -128,7 +128,11 @@ def envelope_correlation_loss(pred: Array, target: Array,
     ep = ep - ep.mean(axis=1, keepdims=True)
     et = et - et.mean(axis=1, keepdims=True)
     num = (ep * et).sum(axis=1)
-    den = (jnp.linalg.norm(ep, axis=1) * jnp.linalg.norm(et, axis=1) + 1e-8)
+    # eps INSIDE the sqrt: the gradient of an unregularized L2 norm is
+    # NaN at zero, and an all-silent band (zero-padded segment tail at
+    # bf16) hits exactly that
+    den = jnp.sqrt(((ep ** 2).sum(axis=1) + 1e-8)
+                   * ((et ** 2).sum(axis=1) + 1e-8))
     return 1.0 - (num / den).mean()
 
 

@@ -142,6 +142,13 @@ class Stage2Trainer:
         # reference training/train_stage2.py:248-270; both r03 drives
         # showed STOI degrading under that schedule, VERDICT r3 weak #1).
         self.adv_warmup = int(tcfg.get("adversarial_warmup_steps", 0))
+        # Exponential moving average of the generator weights (standard
+        # GAN-vocoder practice — HiFi-GAN/BigVGAN evaluate and ship the
+        # EMA, not the raw adversarially-jittered weights; the reference
+        # has no EMA). 0 = off. When on, validation/best-checkpoint/
+        # early-stop all score the EMA params, and checkpoints carry
+        # them under 'generator_ema'.
+        self.ema_decay = float(tcfg.get("ema_decay", 0.0))
 
         self.mesh = mesh or make_mesh(
             int(config.get("system.mesh.data", -1)),
@@ -216,6 +223,17 @@ class Stage2Trainer:
         self.d_state = shard_tree(train_state.TrainState.create(
             apply_fn=self.discriminator.apply, params=d_vars["params"],
             tx=tx(tcfg)), self.mesh)
+        # EMA shadow of the generator (seeded from the warm-started
+        # params; tracked on device, updated by one tiny jitted map per
+        # step — 1.4M-param tree, negligible next to the GAN step)
+        self.ema_params = (shard_tree(jax.tree_util.tree_map(
+            jnp.asarray, g_vars["params"]), self.mesh)
+            if self.ema_decay > 0 else None)
+        self._ema_update = jax.jit(
+            lambda ema, p: jax.tree_util.tree_map(
+                lambda e, q: e * self.ema_decay
+                + q.astype(e.dtype) * (1.0 - self.ema_decay), ema, p),
+            donate_argnums=(0,))
 
         out_dir = Path(config.get("paths.output_dir", "outputs/stage2"))
         self.ckpt = CheckpointManager(
@@ -275,7 +293,7 @@ class Stage2Trainer:
         # Refreshed at every checkpoint save and at restore; stored with
         # the loop step so recovery rewinds params and counter together
         # (mirrors stage-1).
-        self._oom_snapshot = (*self._host_states_copy(), 0)
+        self._oom_snapshot = self._snapshot()
         # GAN blow-up guard: adversarial training can go non-finite in one
         # step with healthy losses right before (observed on TPU: finite at
         # step 2200, NaN at 2250). Detection piggybacks on the log-interval
@@ -303,15 +321,37 @@ class Stage2Trainer:
     def _host_states_copy(self):
         return jax.device_get((self.g_state, self.d_state))
 
+    def _eval_params(self):
+        """Params that validation / the gate / best-checkpoints score:
+        the EMA shadow when enabled, else the live generator."""
+        return (self.ema_params if self.ema_params is not None
+                else self.g_state.params)
+
+    def _snapshot(self):
+        """Host copy of everything a rewind must restore (g/d states, EMA,
+        loop step)."""
+        g, d = self._host_states_copy()
+        ema = (jax.device_get(self.ema_params)
+               if self.ema_params is not None else None)
+        return (g, d, ema, self.step)
+
+    def _restore_snapshot(self, snap) -> None:
+        g, d, ema, step = snap
+        self.g_state = shard_tree(g, self.mesh)
+        self.d_state = shard_tree(d, self.mesh)
+        if ema is not None:
+            self.ema_params = shard_tree(ema, self.mesh)
+        self.step = step
+
     def _recover_after_oom(self) -> None:
-        g, d, snap_step = self._oom_snapshot
-        leaves = jax.tree_util.tree_leaves((self.g_state, self.d_state))
+        snap_step = self._oom_snapshot[-1]
+        leaves = jax.tree_util.tree_leaves(
+            (self.g_state, self.d_state,
+             () if self.ema_params is None else self.ema_params))
         if any(getattr(x, "is_deleted", lambda: False)() for x in leaves):
             logger.warning("Donated state invalidated by the failed step — "
                            "restoring snapshot (step %d)", snap_step)
-            self.g_state = shard_tree(g, self.mesh)
-            self.d_state = shard_tree(d, self.mesh)
-            self.step = snap_step
+            self._restore_snapshot(self._oom_snapshot)
 
     def _recover_after_blowup(self) -> None:
         """Rewind to the last finite snapshot after non-finite losses.
@@ -326,14 +366,12 @@ class Stage2Trainer:
         self._blowups += 1
         self.base_rng = jax.random.fold_in(self.base_rng,
                                            0xB10 + self._blowups)
-        g, d, snap_step = self._oom_snapshot
+        snap_step = self._oom_snapshot[-1]
         blown_step = self.step
         # restore BEFORE the limit check: when the raise fires, train()'s
         # finally-save must persist the last finite snapshot, not the
         # exploded params
-        self.g_state = shard_tree(g, self.mesh)
-        self.d_state = shard_tree(d, self.mesh)
-        self.step = snap_step
+        self._restore_snapshot(self._oom_snapshot)
         if self._blowups > self._blowup_limit:
             raise RuntimeError(
                 f"non-finite losses at step {blown_step} — "
@@ -656,6 +694,9 @@ class Stage2Trainer:
             fn = self._gd_step_cached if cached else self._gd_step
             self.g_state, self.d_state, metrics = fn(
                 self.g_state, self.d_state, batch, self.base_rng)
+            if self.ema_params is not None:
+                self.ema_params = self._ema_update(self.ema_params,
+                                                   self.g_state.params)
             self.step += 1
             return metrics
         # alternating mode (reference compat): separate dispatches
@@ -671,6 +712,9 @@ class Stage2Trainer:
             self.g_state, g_metrics = g_fn(
                 self.g_state, self.d_state.params, batch, rng)
             metrics.update(g_metrics)
+            if self.ema_params is not None:
+                self.ema_params = self._ema_update(self.ema_params,
+                                                   self.g_state.params)
         self.step += 1
         return metrics
 
@@ -755,7 +799,7 @@ class Stage2Trainer:
                     # the quality pass above already synthesized + dumped
                     # the eval texts for this step; don't do it twice
                     self.sample_validator.run(
-                        {"params": self.g_state.params}, self.step)
+                        {"params": self._eval_params()}, self.step)
                 if self.step % self.save_every == 0:
                     self.save_checkpoint()
         except KeyboardInterrupt:
@@ -820,7 +864,7 @@ class Stage2Trainer:
             # ~30 ms per dispatch over the tunnel, turning every
             # validation into a multi-second stall (CLAUDE.md)
             mel_loss_dev, spec_loss_dev, mel_pred, audio_pred = \
-                self._val_fwd(self.g_state.params, prepared)
+                self._val_fwd(self._eval_params(), prepared)
             # ONE fetch for the whole validation step (scalars + arrays)
             mel_loss, spec_loss, mel_pred_h, audio_pred_h = jax.device_get(
                 (mel_loss_dev, spec_loss_dev, mel_pred, audio_pred))
@@ -882,7 +926,7 @@ class Stage2Trainer:
                                    self.buckets, seed=0, shuffle=False,
                                    drop_last=False)
             out.update(benchmark_model_performance(
-                self.model, {"params": self.g_state.params}, batches,
+                self.model, {"params": self._eval_params()}, batches,
                 num_samples=self.batch_size * n_batches,
                 sample_rate=sr, _fn_cache=self._bm_cache))
         except Exception as e:  # pragma: no cover - resilience path
@@ -893,7 +937,7 @@ class Stage2Trainer:
                                    drop_last=False,
                                    audio_samples=self._max_audio_samples())
             aq = benchmark_audio_quality(
-                self.model, {"params": self.g_state.params}, batches,
+                self.model, {"params": self._eval_params()}, batches,
                 num_samples=self.quality_utterances, sample_rate=sr,
                 hop_length=self.hop, _fn_cache=self._bm_cache)
             out.update({
@@ -905,7 +949,7 @@ class Stage2Trainer:
         except Exception as e:  # pragma: no cover - resilience path
             logger.warning("benchmark_audio_quality failed: %s", e)
         out.update(self.sample_validator.run(
-            {"params": self.g_state.params}, self.step))
+            {"params": self._eval_params()}, self.step))
         return out
 
     @property
@@ -942,12 +986,17 @@ class Stage2Trainer:
             logger.error("Refusing to checkpoint non-finite params at step "
                          "%d (blow-up not yet detected)", self.step)
             return
-        self._oom_snapshot = (g, d, self.step)
-        self.ckpt.save(self.step, {
+        ema = (jax.device_get(self.ema_params)
+               if self.ema_params is not None else None)
+        self._oom_snapshot = (g, d, ema, self.step)
+        payload = {
             "generator": g.params, "g_opt_state": g.opt_state,
             "discriminator": d.params, "d_opt_state": d.opt_state,
             "step": self.step,
-        }, config=self.config)
+        }
+        if ema is not None:
+            payload["generator_ema"] = ema
+        self.ckpt.save(self.step, payload, config=self.config)
 
     def save_best_checkpoint(self, score: float) -> None:
         """Pin the current G/D states as the best-validation checkpoint
@@ -957,11 +1006,20 @@ class Stage2Trainer:
             self._best_ckpt = CheckpointManager(
                 self.ckpt.directory / "best", max_to_keep=1)
         g, d = self._host_states_copy()
-        self._best_ckpt.save(self.step, {
+        payload = {
             "generator": g.params, "g_opt_state": g.opt_state,
             "discriminator": d.params, "d_opt_state": d.opt_state,
             "step": self.step,
-        }, config=self.config, metrics={"val_score": float(score)})
+        }
+        if self.ema_params is not None:
+            # the gate SCORED the EMA weights, so the best checkpoint
+            # must serve them: 'generator' is what load_for_inference /
+            # evaluate.py --step best load. Raw weights stay under
+            # 'generator_raw' for forensics.
+            payload["generator_raw"] = payload["generator"]
+            payload["generator"] = jax.device_get(self.ema_params)
+        self._best_ckpt.save(self.step, payload, config=self.config,
+                             metrics={"val_score": float(score)})
         _write_best_score(self.ckpt.directory, self.step, score,
                           metric=self._gate_metric_name())
         logger.info("New best validation score %.6f at step %d", score,
@@ -974,7 +1032,21 @@ class Stage2Trainer:
         template = {"generator": g.params, "g_opt_state": g.opt_state,
                     "discriminator": d.params, "d_opt_state": d.opt_state,
                     "step": 0}
-        restored, _, step = self.ckpt.restore(state_template=template)
+        if self.ema_params is not None:
+            template["generator_ema"] = jax.device_get(self.ema_params)
+        try:
+            restored, _, step = self.ckpt.restore(state_template=template)
+        except Exception:
+            if "generator_ema" not in template:
+                raise
+            # resuming a pre-EMA checkpoint with EMA newly enabled: seed
+            # the shadow from the restored generator instead
+            template.pop("generator_ema")
+            restored, _, step = self.ckpt.restore(state_template=template)
+        if self.ema_params is not None:
+            self.ema_params = shard_tree(
+                restored.get("generator_ema", restored["generator"]),
+                self.mesh)
         self.g_state = shard_tree(self.g_state.replace(
             params=restored["generator"], opt_state=restored["g_opt_state"],
             step=step), self.mesh)
@@ -984,7 +1056,7 @@ class Stage2Trainer:
         self.step = step
         # refresh the OOM snapshot so recovery rolls back to the resumed
         # params, not the __init__-time init
-        self._oom_snapshot = (*self._host_states_copy(), step)
+        self._oom_snapshot = self._snapshot()
         # restore the best-validation score so resume never rotates the
         # pinned best checkpoint away with a worse state; the stored
         # metric name guards against comparing across gate metrics when

@@ -98,6 +98,12 @@ def load_for_inference(directory: Union[str, Path],
     if config is None:
         raise ValueError(f"Checkpoint at {directory} has no embedded config")
     params = state
+    if isinstance(params, dict) and "generator_ema" in params:
+        # serve the EMA weights when the trainer tracked them
+        # (training.ema_decay > 0) — the smoothed shadow is what the
+        # validation gate scored and what GAN-vocoder practice ships;
+        # the raw 'generator' stays in the checkpoint for resume
+        params = params["generator_ema"]
     for key in ("generator", "params"):
         if isinstance(params, dict) and key in params:
             params = params[key]

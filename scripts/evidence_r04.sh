@@ -44,15 +44,18 @@ python scripts/train.py --config configs/flagship_tpu.yaml --resume \
 
 # 3. Stage-2 GAN, quality recipe (sweep winner, see
 #    artifacts/evidence_r04/sweep_summary.md): warm start, 32768-sample
-#    segments, adv warmup, STOI-weighted gate. Validates every 250 with
-#    full-utterance STOI/LSD (utt_* metrics).
-python scripts/train_stage2.py --config configs/flagship_tpu.yaml \
+#    segments, envelope-correlation loss, soft spectral-normed adversary
+#    with warmup, fine-tuning LR, generator EMA, STOI-weighted gate.
+#    configs/stage2_quality.yaml carries the full recipe; validates
+#    every 250 with full-utterance STOI/LSD (utt_* metrics) scored on
+#    the EMA shadow.
+python scripts/train_stage2.py --config configs/stage2_quality.yaml \
   data.data_dir=data/synthetic-1000 \
   training.max_steps=3000 training.device_data_cache=true \
-  training.validate_every=250 training.save_every=500 \
-  training.log_every=50 training.audio_segment_len=32768 \
-  training.adversarial_warmup_steps=1000 \
+  training.validate_every=250 training.save_every=250 \
+  training.max_checkpoints=15 training.log_every=50 \
   training.init_generator_from="$ROOT/stage1/ckpt" \
+  system.generate_samples_every=0 \
   paths.output_dir="$ROOT/stage2" \
   paths.checkpoint_dir="$ROOT/stage2/ckpt" \
   paths.log_dir="$ROOT/stage2/logs" \

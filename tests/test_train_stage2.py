@@ -337,7 +337,7 @@ def test_stage2_blowup_recovery_bounded(tmp_path, dummy_ds):
 
     trainer = Stage2Trainer(cfg, dataset=dummy_ds)
     snap_g, snap_d = trainer._host_states_copy()
-    trainer._oom_snapshot = (snap_g, snap_d, 0)
+    trainer._oom_snapshot = (snap_g, snap_d, None, 0)
     trainer.step = 7
     trainer._recover_after_blowup()
     assert trainer.step == 0 and trainer._blowups == 1
@@ -435,3 +435,34 @@ def test_audio_domain_gate(tmp_path, dummy_ds):
     tr0 = Stage2Trainer(cfg0, dataset=dummy_ds)
     assert tr0._gate_metric_name() == "quality_score"
     tr0.close()
+
+
+def test_generator_ema(tmp_path, dummy_ds):
+    """training.ema_decay: the EMA shadow tracks the generator (between
+    init and the live weights), the best checkpoint serves the EMA under
+    'generator' (what the gate scored), and resume restores the shadow."""
+    cfg = stage2_config(tmp_path, max_steps=2, save_every=2, ema_decay=0.5)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    leaf = lambda p: np.asarray(
+        jax.tree_util.tree_leaves(p)[0], np.float32)
+    init_leaf = leaf(tr.ema_params).copy()
+    tr.train()
+    ema_leaf, live_leaf = leaf(tr.ema_params), leaf(tr.g_state.params)
+    assert not np.allclose(ema_leaf, init_leaf)   # it moved
+    assert not np.allclose(ema_leaf, live_leaf)   # but lags the live net
+    # best checkpoint: 'generator' must be the EMA (the scored weights)
+    tr.save_best_checkpoint(1.0)
+    from m2tts_tpu.utils.checkpoint import load_for_inference
+
+    variables, _, _ = load_for_inference(
+        cfg.get("paths.checkpoint_dir"), step="best")
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(variables["params"])[0],
+                   np.float32), ema_leaf)
+    tr.close()
+    # resume: the shadow round-trips through the latest checkpoint
+    tr2 = Stage2Trainer(stage2_config(tmp_path, max_steps=3, save_every=2,
+                                      ema_decay=0.5), dataset=dummy_ds)
+    tr2.restore()
+    np.testing.assert_allclose(leaf(tr2.ema_params), ema_leaf)
+    tr2.close()
