@@ -181,7 +181,63 @@ def _phoneme_signal(ph: str, n_samples: int, sample_rate: int,
     return np.asarray(sig, np.float32)
 
 
-def build_synthetic_corpus(data_dir: Path, n: int, sample_rate: int = 22050) -> Path:
+def _phoneme_signal_v2(ph: str, n_samples: int, sample_rate: int,
+                       f0_shift: float) -> "np.ndarray":
+    """Envelope-diverse phoneme signature (corpus v2).
+
+    The v1 corpus gates each phoneme's whole harmonic stack with ONE
+    amplitude envelope, so every frequency band carries the same
+    envelope — and STOI (per-band envelope correlation) then scores any
+    envelope-passthrough system highly: measured noise floor 0.70 for
+    unmodulated white noise against v1 ground truth, which put the
+    metric's ceiling at init and made training look like regression
+    (artifacts/evidence_r04/sweep_summary.md). Here each partial sits an
+    OCTAVE apart (k·F0, k ∈ {1,2,4,8} → distinct third-octave bands) and
+    carries its own slow AM envelope (rate/phase keyed to (phoneme,
+    partial)), so band envelopes are mutually distinct: white noise
+    scores ~0.1, and STOI moves only when the model learns which band
+    gets which envelope — like real speech formant structure.
+    """
+    import numpy as np
+
+    if ph in ("SIL", "SP"):
+        rng = np.random.default_rng(7)
+        return (1e-3 * rng.standard_normal(n_samples)).astype(np.float32)
+    import zlib
+
+    h = zlib.crc32(ph.encode())
+    t = np.arange(n_samples) / sample_rate
+    if h % 3 != 0:  # voiced: octave-spaced partials, per-partial AM
+        f0 = (95.0 + (h % 181)) * f0_shift
+        sig = np.zeros(n_samples)
+        for j, k in enumerate((1, 2, 4, 8)):
+            if j > 0 and ((h >> (5 * j + 1)) % 3) == 0:
+                # partial ABSENT for this phoneme: band on/off across the
+                # utterance then tracks phoneme identity, decorrelating
+                # band envelopes from the global phoneme gating (the
+                # residual correlation source after per-partial AM)
+                continue
+            base = 1.0 / (1.0 + j)  # gentle spectral tilt
+            am_rate = 1.5 + ((h >> (3 * j)) % 13) * 0.7   # 1.5-10 Hz
+            am_phase = ((h >> (2 * j)) % 17) / 17.0 * 2 * np.pi
+            env = 0.2 + 0.8 * (0.5 + 0.5 * np.sin(
+                2 * np.pi * am_rate * t + am_phase))
+            sig += base * env * np.sin(
+                2 * np.pi * k * f0 * t + (h >> j) % 7)
+    else:  # unvoiced: AM'd high-pass noise (envelope in the top bands)
+        rng = np.random.default_rng(h)
+        noise = rng.standard_normal(n_samples + 32)
+        kw = 4 + (h >> 4) % 24
+        kernel = np.hanning(kw + 2)[1:-1]
+        lp = np.convolve(noise, kernel / kernel.sum(), "same")[:n_samples]
+        sig = noise[:n_samples] - lp
+        am_rate = 2.0 + (h % 11) * 0.8
+        sig *= 0.3 + 0.7 * (0.5 + 0.5 * np.sin(2 * np.pi * am_rate * t))
+    return np.asarray(sig, np.float32)
+
+
+def build_synthetic_corpus(data_dir: Path, n: int, sample_rate: int = 22050,
+                           profile: str = "v2") -> Path:
     """LJSpeech-format corpus whose audio is a deterministic function of
     the text's phoneme sequence, with per-utterance prosody variation.
 
@@ -202,7 +258,14 @@ def build_synthetic_corpus(data_dir: Path, n: int, sample_rate: int = 22050) -> 
     from m2tts_tpu.frontend.text import TextProcessor
 
     tp = TextProcessor()
-    corpus = data_dir / f"synthetic-{n}"
+    if profile not in ("v1", "v2"):
+        raise ValueError(f"unknown synthetic profile {profile!r}")
+    # v2 (default): envelope-diverse signatures (_phoneme_signal_v2) —
+    # STOI-meaningful ground truth (white-noise floor ~0.1 vs ~0.7 for
+    # v1's globally-gated stacks). v1 kept for reproducing r2/r3 drives.
+    signal_fn = _phoneme_signal_v2 if profile == "v2" else _phoneme_signal
+    corpus = data_dir / (f"synthetic-{n}" if profile == "v1"
+                         else f"synthetic-v2-{n}")
     wavs = corpus / "wavs"
     wavs.mkdir(parents=True, exist_ok=True)
 
@@ -224,7 +287,7 @@ def build_synthetic_corpus(data_dir: Path, n: int, sample_rate: int = 22050) -> 
             dur_s = (0.05 if ph == "SP" else 0.25 if ph == "SIL"
                      else (0.06 + (h % 97) / 97.0 * 0.12)) * rate
             m = max(int(dur_s * sample_rate), 64)
-            seg = _phoneme_signal(ph, m, sample_rate, f0_shift)
+            seg = signal_fn(ph, m, sample_rate, f0_shift)
             k = min(len(fade) // 2, m // 2)  # edge fades avoid clicks
             seg[:k] *= fade[:k]
             seg[-k:] *= fade[-k:]
@@ -259,6 +322,9 @@ def main(argv=None):
                         "reference scripts/download_data.py)")
     p.add_argument("--verify-only", action="store_true",
                    help="verify an existing tree; no network access")
+    p.add_argument("--synthetic-profile", default="v2", choices=("v1", "v2"),
+                   help="synthetic corpus signal profile (v2: "
+                        "envelope-diverse, STOI-meaningful; v1: r2/r3 compat)")
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="generate an N-utterance synthetic corpus instead of downloading")
     args = p.parse_args(argv)
@@ -266,7 +332,8 @@ def main(argv=None):
     data_dir = Path(args.data_dir)
 
     if args.synthetic:
-        build_synthetic_corpus(data_dir, args.synthetic)
+        build_synthetic_corpus(data_dir, args.synthetic,
+                               profile=args.synthetic_profile)
         return 0
     if args.dataset == "vctk":
         download_vctk_subset(data_dir)
