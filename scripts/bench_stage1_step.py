@@ -27,7 +27,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
-import jax.numpy as jnp
 
 from m2tts_tpu.data.dataset import DummyDataset, make_batches
 from m2tts_tpu.training.trainer import Stage1Trainer
