@@ -190,7 +190,8 @@ class Synthesizer:
                  batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
                  sample_rate: int = 22050, hop_length: int = 256,
                  extra_lexicon=None, vocoder_backend: str = "xla",
-                 mesh=None, compute_dtype: str = "auto"):
+                 mesh=None, compute_dtype: str = "auto",
+                 frame_probe: str = "auto"):
         """``vocoder_backend``: 'xla' (the Flax module as-is), 'mm' (dense
         matmul reformulation, plain XLA), 'pallas' (fused VMEM-resident
         kernel), or 'pallas_packed' (fused kernel with the phase-packed
@@ -209,6 +210,19 @@ class Synthesizer:
         they must not wobble with dtype. bf16-vs-f32 audio parity is
         asserted in tests/test_serving.py (atol ~1e-2, the bf16 mantissa
         floor).
+
+        ``frame_probe``: where the duration probe that picks a request's
+        frame bucket runs when ``max_frames`` is not given. 'device' =
+        the accelerator (one extra blocking dispatch per request —
+        ~30 ms round-trip latency on tunneled hosts). 'host' = a CPU-
+        backend jit of the same tiny graph (text encoder + duration
+        predictor at batch size; sub-ms at flagship scale) — the control
+        decision stays on the host and the accelerator only ever runs
+        the big synthesis graph. 'auto' = 'host' off-CPU, 'device' on
+        CPU (where the two are the same processor). Frame counts from
+        the host probe get a +2 guard before bucket selection to absorb
+        cross-backend f32 rounding at floor() edges; an undershoot is
+        still surfaced by the ``truncated`` flag.
 
         ``mesh``: optional ('data', 'model') jax.sharding.Mesh for
         multi-chip serving. Batches shard over 'data' (every batch bucket
@@ -301,6 +315,14 @@ class Synthesizer:
 
         self._synth = {}  # max_frames -> compiled fn
         self._probe = None  # lazily compiled duration probe
+        if frame_probe == "auto":
+            frame_probe = ("host" if jax.default_backend() != "cpu"
+                           else "device")
+        if frame_probe not in ("host", "device"):
+            raise ValueError(f"Unknown frame_probe {frame_probe!r}")
+        self.frame_probe = frame_probe
+        self._host_probe = None   # lazily jitted CPU-backend probe
+        self._host_params = None  # CPU-resident param copy for it
         # factory constructors attach the full Config here so downstream
         # tools (scripts/evaluate.py) can rebuild matching data processors
         self.config: Optional[Config] = None
@@ -380,6 +402,43 @@ class Synthesizer:
 
             self._probe = probe
         return self._probe
+
+    def _predict_frames_host(self, ids: np.ndarray, lengths: np.ndarray,
+                             duration_scale: float) -> Optional[np.ndarray]:
+        """Per-utterance frame counts from a CPU-backend jit of the
+        duration probe (frame_probe='host'): bucket routing is a control
+        decision, so it runs on the host instead of paying a blocking
+        accelerator round trip per request (~30 ms on tunneled hosts).
+        Returns None when no CPU backend exists (caller falls back to
+        the device probe)."""
+        if self._host_probe is None:
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                return None
+            # one-time f32 host copy; the probe only reads the acoustic
+            # prefix (text encoder + duration predictor), a few MB
+            self._host_params = jax.device_put(
+                jax.device_get(self.params), cpu)
+            model = self.model
+
+            def inner(mdl, ids_, lengths_):
+                enc, mask = mdl.text_encoder(ids_, lengths_, True)
+                durations = mdl.duration_predictor(enc, True)
+                return durations * mask.astype(durations.dtype)
+
+            @jax.jit
+            def probe(params, packed, scale):
+                ids_, lengths_ = packed[:, :-1], packed[:, -1]
+                durations = model.apply(params, ids_, lengths_, method=inner)
+                frames = jnp.floor(durations * scale).astype(jnp.int32)
+                return jnp.maximum(frames, 0).sum(axis=1)
+
+            self._cpu_dev = cpu
+            self._host_probe = probe
+        packed = jax.device_put(self._pack(ids, lengths), self._cpu_dev)
+        scale = jax.device_put(np.float32(duration_scale), self._cpu_dev)
+        return np.asarray(self._host_probe(self._host_params, packed, scale))
 
     @staticmethod
     def _bf16_params(p):
@@ -470,11 +529,20 @@ class Synthesizer:
         if pcm_format not in ("int16", "mulaw"):
             raise ValueError(f"Unknown pcm_format {pcm_format!r}")
         ids, lengths = self._encode_batch(texts)
-        packed = self._put(self._pack(ids, lengths))
+        packed = self._put(self._pack(ids, lengths))  # async H2D
         if max_frames is None:
-            probe = self._get_probe()
-            totals = np.asarray(probe(self.params, packed,
-                                      self._scale_arr(duration_scale)))
+            totals = None
+            if self.frame_probe == "host":
+                # overlaps with the packed-batch H2D above; +2 guards
+                # cross-backend floor() rounding at bucket edges
+                totals = self._predict_frames_host(ids, lengths,
+                                                   duration_scale)
+                if totals is not None:
+                    totals = totals + 2
+            if totals is None:
+                probe = self._get_probe()
+                totals = np.asarray(probe(self.params, packed,
+                                          self._scale_arr(duration_scale)))
             max_frames = _bucket_for(int(totals[: len(texts)].max()),
                                      self.frame_buckets)
         fn = self._get_synth(max_frames, want_mel, pcm_format)
@@ -715,6 +783,12 @@ class Synthesizer:
             if (b, t) not in seen_bt:  # probe compiles per (batch, text)
                 seen_bt.add((b, t))
                 jax.block_until_ready(probe(self.params, packed, scale))
+                if self.frame_probe == "host":
+                    # the launch path routes buckets through the CPU
+                    # probe (also shape-specialized); warm it per (b, t)
+                    self._predict_frames_host(
+                        np.zeros((b, t), np.int32),
+                        np.ones((b,), np.int32), 1.0)
             fn = self._get_synth(frames, want_mel)
             jax.block_until_ready(
                 fn(self.params, packed, scale)["pcm"])

@@ -1013,11 +1013,11 @@ class Stage2Trainer:
         }
         if self.ema_params is not None:
             # the gate SCORED the EMA weights, so the best checkpoint
-            # must serve them: 'generator' is what load_for_inference /
-            # evaluate.py --step best load. Raw weights stay under
-            # 'generator_raw' for forensics.
-            payload["generator_raw"] = payload["generator"]
-            payload["generator"] = jax.device_get(self.ema_params)
+            # serves them under 'generator_ema' (load_for_inference
+            # prefers that key); 'generator'/'g_opt_state' stay the
+            # MATCHED raw pair so resuming from <ckpt>/best never pairs
+            # EMA weights with raw Adam moments (ADVICE r4)
+            payload["generator_ema"] = jax.device_get(self.ema_params)
         self._best_ckpt.save(self.step, payload, config=self.config,
                              metrics={"val_score": float(score)})
         _write_best_score(self.ckpt.directory, self.step, score,
@@ -1034,15 +1034,15 @@ class Stage2Trainer:
                     "step": 0}
         if self.ema_params is not None:
             template["generator_ema"] = jax.device_get(self.ema_params)
-        try:
-            restored, _, step = self.ckpt.restore(state_template=template)
-        except Exception:
-            if "generator_ema" not in template:
-                raise
-            # resuming a pre-EMA checkpoint with EMA newly enabled: seed
-            # the shadow from the restored generator instead
-            template.pop("generator_ema")
-            restored, _, step = self.ckpt.restore(state_template=template)
+            # resuming a pre-EMA checkpoint with EMA newly enabled: the
+            # stored tree has no 'generator_ema' — detect that from the
+            # checkpoint METADATA (not by retrying on arbitrary restore
+            # exceptions, which masked corrupt-checkpoint failures,
+            # ADVICE r4) and seed the shadow from the restored generator
+            stored = self.ckpt.state_keys()
+            if stored is not None and "generator_ema" not in stored:
+                template.pop("generator_ema")
+        restored, _, step = self.ckpt.restore(state_template=template)
         if self.ema_params is not None:
             self.ema_params = shard_tree(
                 restored.get("generator_ema", restored["generator"]),

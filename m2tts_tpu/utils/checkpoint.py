@@ -60,6 +60,23 @@ class CheckpointManager:
         config = Config(restored["config"]) if "config" in items else None
         return restored["state"], config, step
 
+    def state_keys(self, step: Optional[int] = None) -> Optional[list]:
+        """Top-level keys of the stored state pytree, from checkpoint
+        metadata only (no array reads) — lets callers adapt their restore
+        template to what a checkpoint actually contains (e.g. resuming a
+        pre-EMA checkpoint with EMA newly enabled) instead of retrying on
+        arbitrary restore exceptions. None when metadata is unreadable."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        try:
+            meta = self._mgr.item_metadata(step)
+            tree = meta["state"] if "state" in meta else meta.state
+            return list(tree.keys()) if isinstance(tree, dict) else None
+        except Exception:
+            return None
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

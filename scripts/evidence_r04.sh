@@ -18,7 +18,7 @@ mkdir -p "$ROOT" "$EV/wavs"
 # 1. Learnable synthetic corpus (air-gapped box; provenance in
 #    artifacts/evidence_r03/EVIDENCE.md §0).
 if [ ! -d data/synthetic-1000 ]; then
-  python scripts/download_data.py --synthetic 1000 --data-dir data
+  python scripts/download_data.py --synthetic 1000 --data-dir data --synthetic-profile v1
 fi
 
 # 2. Stage-1 acoustic training: flagship config (256x vocoder), 6000

@@ -14,6 +14,11 @@ S1=${1:-outputs/evidence_r04/stage1/ckpt}
 ROOT=${2:-outputs/sweep_stage2}
 STEPS=${STEPS:-1200}
 VAL=${VAL:-200}
+# r04 sweep corpus: the v1 profile (generate explicitly — the
+# download_data.py default profile has moved on to v3)
+if [ ! -d data/synthetic-1000 ]; then
+  python scripts/download_data.py --synthetic 1000 --data-dir data --synthetic-profile v1
+fi
 
 run () {
   name=$1; shift
