@@ -41,15 +41,21 @@ def honor_platform_env() -> None:
 
 
 def _host_fingerprint() -> str:
-    """Short tag identifying this host's CPU feature set.
+    """Short tag identifying this host *instance* for cache scoping.
 
     XLA:CPU cache entries are AOT-compiled for the *build* machine's CPU
     features, and the persistent-cache key does NOT include them — an
     entry written on one VM can SIGILL a process on a VM with a
     different feature set (observed: cpu_aot_loader feature-mismatch
-    warnings after a host migration, then dead test runs). Scoping the
-    cache dir by a fingerprint of the flags line makes a foreign-host
-    cache invisible instead of fatal."""
+    warnings after a host migration, then dead test runs). The /proc/
+    cpuinfo flags line alone proved insufficient: two VMs can expose the
+    same flags while LLVM detects different effective features (r04
+    driver tails still showed feature +prefer-no-gather mismatches), so
+    the fingerprint also includes the kernel boot id — a VM migration
+    always gets a fresh cache dir, making a foreign-host cache invisible
+    instead of fatal. Within one boot (one bench rerun, one drive's
+    many CLIs) reuse still works, which is where the 4-30 s/bucket
+    compile savings actually live."""
     import hashlib
     import platform
 
@@ -62,6 +68,11 @@ def _host_fingerprint() -> str:
                     break
     except OSError:  # pragma: no cover - non-Linux
         src += platform.processor()
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            src += f.read().strip()
+    except OSError:  # pragma: no cover - non-Linux
+        pass
     return hashlib.sha1(src.encode()).hexdigest()[:12]
 
 

@@ -339,3 +339,26 @@ class TestBf16Serving:
         assert s.compute_dtype == expect
         with pytest.raises(ValueError):
             Synthesizer(model, params, compute_dtype="fp8")
+
+
+def test_host_frame_probe_matches_device(synth):
+    """frame_probe='host' (the TPU serving default) must route requests
+    to the same frame buckets as the device probe — same graph, jitted
+    on the CPU backend, +2-frame guard absorbs floor()-edge rounding
+    (serving/pipeline.py _predict_frames_host)."""
+    model, params = synth.model, synth.params
+    s_host = Synthesizer(model, params,
+                         text_buckets=(16, 32), frame_buckets=(64, 128),
+                         batch_buckets=(1, 2, 4), frame_probe="host")
+    assert s_host.frame_probe == "host"
+    texts = ["hello world", "the quick brown fox jumps over the dog"]
+    a = synth.synthesize_batch(texts, duration_scale=3.0)
+    b = s_host.synthesize_batch(texts, duration_scale=3.0)
+    for ra, rb in zip(a, b):
+        assert ra["frames"] == rb["frames"]
+        np.testing.assert_array_equal(ra["audio_pcm"], rb["audio_pcm"])
+    # the host probe's frame counts agree with the device probe
+    ids, lens = s_host._encode_batch(texts)
+    host_frames = s_host._predict_frames_host(ids, lens, 3.0)
+    dev_frames = synth.predict_frames(ids, lens, 3.0)
+    np.testing.assert_array_equal(host_frames, dev_frames)
