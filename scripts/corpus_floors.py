@@ -52,6 +52,11 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--profile", default=None,
                     help="v3 enables the oracle_f0 leg (re-render)")
+    ap.add_argument("--mel-oracle", action="store_true",
+                    help="add Griffin-Lim-from-GT-mel STOI (vocoder-"
+                         "perfect ceiling given the mel representation)")
+    ap.add_argument("--n-mels", type=int, default=80,
+                    help="mel channels for --mel-oracle (training config)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
@@ -62,6 +67,14 @@ def main(argv=None):
 
     legs = {"noise_floor": [], "passthrough": [], "lsd_noise": [],
             "lsd_passthrough": []}
+    if args.mel_oracle:
+        # Griffin-Lim resynthesis from the GROUND-TRUTH mel: the STOI a
+        # perfect mel→audio stage could reach given this corpus's mel
+        # representation — separates "the vocoder hasn't learned band
+        # envelopes" from "the mel doesn't carry them"
+        legs["mel_oracle"] = []
+        from m2tts_tpu.frontend.audio import AudioProcessor
+        proc = AudioProcessor(n_mels=args.n_mels, fmax=11025.0)
     if args.profile == "v3":
         legs["oracle_f0"] = []
         from m2tts_tpu.frontend.text import TextProcessor
@@ -80,6 +93,10 @@ def main(argv=None):
         legs["passthrough"].append(compute_stoi(audio, pt, sr))
         legs["lsd_passthrough"].append(
             compute_log_spectral_distance(audio, pt))
+        if "mel_oracle" in legs:
+            gl = proc.mel_to_audio(proc.compute_mel(audio))
+            m = min(len(gl), n)
+            legs["mel_oracle"].append(compute_stoi(audio[:m], gl[:m], sr))
         if "oracle_f0" in legs:
             content = [p for p in tp.text_to_phonemes(text) if p != "SIL"]
             dur_s = n / sr / max(len(content), 1)
