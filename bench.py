@@ -238,7 +238,7 @@ def main():
     # number is the steady-state bulk rate.
     routed = {}
     try:
-        routed = _measure_device_routed(synth, texts, scale)
+        routed = _measure_device_routed(synth, texts, scale, windows=3)
     except Exception as e:  # never let the extra metric kill the bench
         print(f"routed device bench failed: {e!r}", file=sys.stderr)
 
@@ -297,6 +297,54 @@ def main():
                 or time.perf_counter() - phase_t0 > 60.0):
             break
     rtf = min(rtf_runs)
+
+    # ---- single-stream RTF, split by what bounds it ----
+    # The delivered number above is fixed-round-trip-bound on tunneled
+    # hosts (~25-30 ms per request regardless of compute; see the link
+    # telemetry). Two companions: (a) μ-law delivery — the telephony
+    # format halves the D2H payload (the client decodes with a 256-entry
+    # table); (b) device-only — pipelined batch-1 dispatches (distinct
+    # scale values defeat RPC memoization), the chip's own single-stream
+    # latency without this host's link.
+    rtf_mulaw = None
+    try:
+        for _ in range(2):
+            synth.synthesize_batch(one, duration_scale=scale,
+                                   pcm_format="mulaw")
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            audio_s = 0.0
+            for _ in range(10):
+                r = synth.synthesize_batch(one, duration_scale=scale,
+                                           pcm_format="mulaw")
+                audio_s += len(r[0]["audio_mulaw"]) / SAMPLE_RATE
+            runs.append((time.perf_counter() - t0) / max(audio_s, 1e-9))
+        rtf_mulaw = min(runs)
+    except Exception as e:
+        print(f"mulaw rtf skipped: {e!r}", file=sys.stderr)
+
+    rtf_device = None
+    try:
+        fn1 = synth._get_synth(rtf_bucket, False)
+        ids1, lens1 = synth._encode_batch(one)
+        packed1 = synth._put(synth._pack(ids1, lens1))
+        out = fn1(synth.params, packed1, synth._scale_arr(scale))
+        frames1 = float(np.minimum(jax.device_get(out["total_frames"])[0],
+                                   rtf_bucket))
+        runs = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            outs = [fn1(synth.params, packed1,
+                        synth._scale_arr(scale * (1.0 + 1e-6 * (w * 31 + j))))
+                    for j in range(20)]
+            jax.block_until_ready(outs[-1])
+            dt = time.perf_counter() - t0
+            audio_s = 20 * frames1 * synth.upsample / SAMPLE_RATE
+            runs.append(dt / audio_s)
+        rtf_device = min(runs)
+    except Exception as e:
+        print(f"device rtf skipped: {e!r}", file=sys.stderr)
 
     # ---- concurrent serving: dynamic batcher coalescing gain ----
     # 16 concurrent single-utterance requests, serialized one-dispatch-
@@ -358,6 +406,10 @@ def main():
         "vs_baseline": round(throughput / reference_target_audio_per_sec, 2),
         "rtf_single_stream": round(rtf, 6),
         "realtime_x_single_stream": round(1.0 / rtf, 1),
+        "rtf_single_stream_mulaw": (round(rtf_mulaw, 6)
+                                    if rtf_mulaw else None),
+        "rtf_single_stream_device": (round(rtf_device, 6)
+                                     if rtf_device else None),
         "rtf_frame_bucket": rtf_bucket,
         "rtf_truncated": rtf_truncated,
         "batch": BATCH,
@@ -511,10 +563,15 @@ def _link_probe(rtt_iters: int = 5, bulk_mb: int = 8):
     import numpy as np
 
     try:
-        tiny = jnp.zeros((1,), jnp.float32) + 1.0
-        jax.block_until_ready(tiny)
+        base = jnp.ones((1,), jnp.float32)
+        jax.block_until_ready(base)  # warm backend
         rtts = []
-        for _ in range(rtt_iters):
+        for i in range(rtt_iters):
+            # a FRESH computed-on-device value per fetch: an array built
+            # from host data (or fetched before) can be served from a
+            # cached host copy and measures nothing
+            tiny = base * (2.0 + i)
+            jax.block_until_ready(tiny)
             t0 = time.perf_counter()
             jax.device_get(tiny)
             rtts.append((time.perf_counter() - t0) * 1000.0)

@@ -78,11 +78,15 @@ def _avg_pool1d(x: Array, factor: int) -> Array:
 
 
 def _packed_strided_conv(x: Array, kernel: Array, bias: Array,
-                         stride: int, groups: int) -> Array:
+                         stride: int, groups: int,
+                         wgrad: str = "xla") -> Array:
     """Exact re-lowering of Conv1d(k, stride, groups, padding=(k-1)//2)
     for ``x.shape[1] % stride == 0``: phase-pack time into channels
     (index c*s+p keeps group blocks contiguous), run a stride-1 conv
-    with the correspondingly reshuffled kernel."""
+    with the correspondingly reshuffled kernel. ``wgrad`` selects the
+    weight-gradient lowering (ops/grouped_conv.py)."""
+    from m2tts_tpu.ops.grouped_conv import conv1d_s1
+
     k, cin_g, cout = kernel.shape
     s = stride
     pad = (k - 1) // 2
@@ -98,10 +102,7 @@ def _packed_strided_conv(x: Array, kernel: Array, bias: Array,
         jnp.zeros((kp * s - k - front, cin_g, cout), kernel.dtype)])
     w_packed = (w_ext.reshape(kp, s, cin_g, cout).transpose(0, 2, 1, 3)
                 .reshape(kp, cin_g * s, cout))
-    out = jax.lax.conv_general_dilated(
-        xp, w_packed, window_strides=(1,), padding=((-r_lo, r_hi),),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups)
+    out = conv1d_s1(xp, w_packed, (-r_lo, r_hi), groups, wgrad)
     return out + bias
 
 
@@ -116,18 +117,20 @@ def _plain_conv(x: Array, kernel: Array, bias: Array, stride: int,
     return out + bias
 
 
-def packed_scale_apply(scale_params, x: Array
+def packed_scale_apply(scale_params, x: Array, wgrad: str = "xla"
                        ) -> Tuple[Array, List[Array]]:
     """ScaleDiscriminator forward on its own param subtree via the
     phase-packed lowering (strided layers only; falls back to the plain
     conv when T doesn't divide). Spectral-norm param trees are not
-    supported — callers gate on it."""
+    supported — callers gate on it. ``wgrad``: weight-gradient lowering
+    for the packed convs (ops/grouped_conv.py)."""
     features = []
     h = x
     for i, (ch, k, s, g) in enumerate(_LAYERS):
         p = scale_params[f"conv{i}"]["conv"]
         if s > 1 and h.shape[1] % s == 0:
-            h = _packed_strided_conv(h, p["kernel"], p["bias"], s, g)
+            h = _packed_strided_conv(h, p["kernel"], p["bias"], s, g,
+                                     wgrad=wgrad)
         else:
             h = _plain_conv(h, p["kernel"], p["bias"], s, g)
         features.append(h)
@@ -138,7 +141,8 @@ def packed_scale_apply(scale_params, x: Array
 
 
 def packed_multiscale_apply(params, audio: Array,
-                            scales: Sequence[int] = (1, 2, 4)
+                            scales: Sequence[int] = (1, 2, 4),
+                            wgrad: str = "xla"
                             ) -> Tuple[List[Array], List[List[Array]]]:
     """MultiScaleDiscriminator.apply({'params': params}, audio), exactly,
     through the phase-packed conv lowering. ``params`` is the same tree
@@ -149,7 +153,7 @@ def packed_multiscale_apply(params, audio: Array,
     logits, feature_maps = [], []
     for i, scale in enumerate(scales):
         x = _avg_pool1d(audio, scale) if scale > 1 else audio
-        out, feats = packed_scale_apply(params[f"scale{i}"], x)
+        out, feats = packed_scale_apply(params[f"scale{i}"], x, wgrad=wgrad)
         logits.append(out)
         feature_maps.append(feats)
     return logits, feature_maps
