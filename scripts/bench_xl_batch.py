@@ -87,8 +87,11 @@ def scan_stage2(batch: int, n_steps: int = 10):
     from m2tts_tpu.training.trainer_stage2 import Stage2Trainer
     from m2tts_tpu.utils.config import load_config
 
+    # flagship_xl (no EMA / spectral norm): the same harness as
+    # bench.py's xl_train2 leg — the quality recipe's EMA shadow breaks
+    # the repeated-donation pattern this quick scan uses
     cfg = load_config(Path(__file__).parent.parent
-                      / "configs/stage2_xl_quality.yaml")
+                      / "configs/flagship_xl.yaml")
     cfg.set("training.batch_size", batch)
     cfg.set("training.save_every", 10**9)
     cfg.set("training.validate_every", 10**9)
