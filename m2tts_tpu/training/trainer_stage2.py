@@ -142,6 +142,10 @@ class Stage2Trainer:
         # reference training/train_stage2.py:248-270; both r03 drives
         # showed STOI degrading under that schedule, VERDICT r3 weak #1).
         self.adv_warmup = int(tcfg.get("adversarial_warmup_steps", 0))
+        # d_loss level below which the adversarial weight scales down
+        # proportionally (0 = off). See _g_step_fn's guard comment.
+        self.adaptive_adv_floor = float(
+            tcfg.get("adaptive_adv_dloss_floor", 0.0))
         # Exponential moving average of the generator weights (standard
         # GAN-vocoder practice — HiFi-GAN/BigVGAN evaluate and ship the
         # EMA, not the raw adversarially-jittered weights; the reference
@@ -484,7 +488,7 @@ class Stage2Trainer:
         return d_state.apply_gradients(grads=grads), {"discriminator_loss": d_loss}
 
     # -- generator step -----------------------------------------------------------
-    def _g_step_fn(self, g_state, d_params, batch, rng):
+    def _g_step_fn(self, g_state, d_params, batch, rng, d_loss=None):
         batch = self._upcast(batch)
         def g_loss_fn(g_params):
             out, mel_pred, audio_pred = self._acoustic_and_segment(
@@ -549,6 +553,26 @@ class Stage2Trainer:
                     weights["adversarial_weight"] * ramp)
                 weights["feature_matching_weight"] = (
                     weights["feature_matching_weight"] * ramp)
+            if self.adaptive_adv_floor > 0 and d_loss is not None:
+                # Adaptive adversarial weight (r05): a WON discriminator
+                # (d_loss → 0) feeds saturated-logit gradients into G —
+                # measured as the NaN blow-up mechanism that ended both
+                # r05 XL drives (d_loss 0.007 at the failure cliff,
+                # artifacts/evidence_r05/EVIDENCE.md §2). Scale the
+                # adversarial pressure by how balanced the game is:
+                # full weight at d_loss ≥ floor, proportionally less as
+                # D saturates. In-graph from the CURRENT batch's d_loss
+                # (stop-gradded; the fused step computes D first), so it
+                # reacts within one step with zero host syncs. FM stays
+                # unscaled — it is a feature-space reconstruction loss,
+                # stabilizing rather than destabilizing.
+                guard = jnp.clip(
+                    jax.lax.stop_gradient(d_loss)
+                    / self.adaptive_adv_floor, 0.0, 1.0)
+                weights = dict(weights)
+                weights["adversarial_weight"] = (
+                    weights["adversarial_weight"] * guard)
+                losses["adv_guard"] = guard
             total = L.combined_generator_loss(losses, **weights)
             losses["total_loss"] = total
             return total, losses
@@ -570,7 +594,9 @@ class Stage2Trainer:
             batch = self._slice_batch(batch, rng)
         new_d, d_metrics = self._d_step_fn(g_state.params, d_state, batch,
                                            rng)
-        new_g, g_metrics = self._g_step_fn(g_state, new_d.params, batch, rng)
+        new_g, g_metrics = self._g_step_fn(
+            g_state, new_d.params, batch, rng,
+            d_loss=d_metrics["discriminator_loss"])
         return new_g, new_d, {**d_metrics, **g_metrics}
 
     # -- device-cached data path ----------------------------------------------

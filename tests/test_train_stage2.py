@@ -466,3 +466,33 @@ def test_generator_ema(tmp_path, dummy_ds):
     tr2.restore()
     np.testing.assert_allclose(leaf(tr2.ema_params), ema_leaf)
     tr2.close()
+
+
+def test_adaptive_adv_guard(tmp_path, dummy_ds):
+    """training.adaptive_adv_dloss_floor: the fused step scales the
+    adversarial weight by clip(d_loss/floor, 0, 1) computed in-graph
+    from the current batch's discriminator loss (the r05 blow-up
+    mechanism was a saturated D at d_loss 0.007). With a huge floor the
+    guard must engage (< 1) and be logged; with the default 0 it must
+    be absent entirely."""
+    from m2tts_tpu.data.dataset import data_iterator
+
+    cfg = stage2_config(tmp_path / "on", max_steps=1,
+                        adaptive_adv_dloss_floor=1e6)
+    tr = Stage2Trainer(cfg, dataset=dummy_ds)
+    it = data_iterator(dummy_ds, 8, tr.buckets, seed=0,
+                       audio_samples=tr._max_audio_samples())
+    m = tr.train_step(next(it))
+    assert "adv_guard" in m
+    g = float(m["adv_guard"])
+    assert 0.0 <= g < 1.0
+    assert np.isfinite(float(m["total_loss"]))
+    tr.close()
+
+    cfg0 = stage2_config(tmp_path / "off", max_steps=1)
+    tr0 = Stage2Trainer(cfg0, dataset=dummy_ds)
+    it0 = data_iterator(dummy_ds, 8, tr0.buckets, seed=0,
+                        audio_samples=tr0._max_audio_samples())
+    m0 = tr0.train_step(next(it0))
+    assert "adv_guard" not in m0
+    tr0.close()
