@@ -146,6 +146,10 @@ class Stage2Trainer:
         # proportionally (0 = off). See _g_step_fn's guard comment.
         self.adaptive_adv_floor = float(
             tcfg.get("adaptive_adv_dloss_floor", 0.0))
+        # d_loss level below which the DISCRIMINATOR's own update slows
+        # proportionally (0 = off). See _d_step_fn's guard comment.
+        self.adaptive_d_lr_floor = float(
+            tcfg.get("adaptive_d_lr_floor", 0.0))
         # Exponential moving average of the generator weights (standard
         # GAN-vocoder practice — HiFi-GAN/BigVGAN evaluate and ship the
         # EMA, not the raw adversarially-jittered weights; the reference
@@ -485,6 +489,28 @@ class Stage2Trainer:
             return L.lsgan_discriminator_loss(real_logits, fake_logits)
 
         d_loss, grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+        if self.adaptive_d_lr_floor > 0:
+            # Throttle the WINNING discriminator (r05): once d_loss sits
+            # far below the floor the game is already lost for G this
+            # round — further D sharpening only deepens logit saturation
+            # (the measured blow-up regime, EVIDENCE.md §2). Scale D's
+            # UPDATE by clip(d_loss/floor, 0, 1) — the update, not the
+            # gradient: Adam normalizes gradient scale away, so a grad
+            # multiplier would be a no-op on the step size. Near-frozen
+            # while saturated, full-speed the moment G catches up.
+            # In-graph, stop-gradded, zero host syncs.
+            import optax
+
+            guard = jnp.clip(jax.lax.stop_gradient(d_loss)
+                             / self.adaptive_d_lr_floor, 0.0, 1.0)
+            updates, new_opt = d_state.tx.update(grads, d_state.opt_state,
+                                                 d_state.params)
+            updates = jax.tree_util.tree_map(lambda u: u * guard, updates)
+            new_d = d_state.replace(
+                step=d_state.step + 1,
+                params=optax.apply_updates(d_state.params, updates),
+                opt_state=new_opt)
+            return new_d, {"discriminator_loss": d_loss}
         return d_state.apply_gradients(grads=grads), {"discriminator_loss": d_loss}
 
     # -- generator step -----------------------------------------------------------

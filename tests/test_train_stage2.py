@@ -478,15 +478,24 @@ def test_adaptive_adv_guard(tmp_path, dummy_ds):
     from m2tts_tpu.data.dataset import data_iterator
 
     cfg = stage2_config(tmp_path / "on", max_steps=1,
-                        adaptive_adv_dloss_floor=1e6)
+                        adaptive_adv_dloss_floor=1e6,
+                        adaptive_d_lr_floor=1e6)
     tr = Stage2Trainer(cfg, dataset=dummy_ds)
     it = data_iterator(dummy_ds, 8, tr.buckets, seed=0,
                        audio_samples=tr._max_audio_samples())
+    d0 = jax.device_get(tr.d_state.params)
     m = tr.train_step(next(it))
     assert "adv_guard" in m
     g = float(m["adv_guard"])
     assert 0.0 <= g < 1.0
     assert np.isfinite(float(m["total_loss"]))
+    # D-throttle: with a huge floor the guard ~ d_loss/1e6 ≈ 0, so the
+    # discriminator's update must be ~frozen (grads scaled to nothing)
+    d1 = jax.device_get(tr.d_state.params)
+    l0 = jax.tree_util.tree_leaves(d0)
+    l1 = jax.tree_util.tree_leaves(d1)
+    max_delta = max(float(np.max(np.abs(a - b))) for a, b in zip(l0, l1))
+    assert max_delta < 1e-5, max_delta
     tr.close()
 
     cfg0 = stage2_config(tmp_path / "off", max_steps=1)
