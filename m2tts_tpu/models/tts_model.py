@@ -340,7 +340,13 @@ def init_params(model: M2TTS, rng, *args, device=None, **kwargs):
         return model.init(rng, *args, **kwargs)
     # operands must live on host too, else ops follow their placement
     rng, args = jax.device_put((rng, args), cpu)
-    with jax.default_device(cpu):
+    # CPU-side init compiles must not enter the persistent cache: CPU
+    # AOT entries fail their own feature check on every load (see
+    # utils/device.no_persistent_cache) — caching them is wasted disk
+    # plus cpu_aot_loader error spam in every later process
+    from m2tts_tpu.utils.device import no_persistent_cache
+
+    with no_persistent_cache(), jax.default_device(cpu):
         params = model.init(rng, *args, **kwargs)
     if device is None:
         default = jax.devices()[0]

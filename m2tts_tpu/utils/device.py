@@ -98,6 +98,38 @@ def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> None:
         pass
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_persistent_cache():
+    """Temporarily disable the persistent compile cache.
+
+    XLA:CPU AOT cache entries are provably useless on this stack: the
+    compiler bakes tuning preferences (+prefer-no-gather/scatter) into
+    the entry's target-feature list, the loader's host-feature check
+    never reports them, and the entry is rejected and recompiled on
+    EVERY load — including on the machine that wrote it (the
+    cpu_aot_loader error spam in r04/r05 driver tails). Host-CPU-side
+    compiles (param init) wrap themselves in this so the cache holds
+    mostly accelerator executables, which do round-trip. Best-effort:
+    under the axon plugin the CPU backend's cache writes have been
+    observed to bypass the flag, so some entries (and their benign
+    load-error spam) can persist — the write path is upstream; the
+    cross-VM SIGILL hazard is separately closed by the boot-scoped
+    cache dir (_host_fingerprint)."""
+    try:
+        prev = jax.config.jax_enable_compilation_cache
+    except AttributeError:  # pragma: no cover - older jax
+        yield
+        return
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+
+
 def setup_devices(platform: Optional[str] = None) -> List[jax.Device]:
     """Return the devices to run on (TPU when present, else CPU)."""
     devices = jax.devices(platform) if platform else jax.devices()
